@@ -1,0 +1,143 @@
+"""Channel-importance estimators as pure functions of (params, grads).
+
+Functional equivalents of torch_pruning's Importance classes
+(ddpm_exp/torch_pruning/pruner/importance.py; pip torch-pruning ~v1.1 for the
+Taylor ``multivariable`` switch used at ddpm_prune.py:60,66).
+
+Each estimator maps a ChannelVar to a 1-D score vector of length
+``var.size``: for every registered weight axis touching the var, the param
+(and, for gradient-based criteria, its accumulated grad) is sliced to the
+var's range, the channel axis moved to the front and the rest flattened, a
+per-channel local score computed, then local scores are mean-reduced across
+all axes in the group — mirroring the reference's group_reduction="mean".
+
+Role conventions (graph.AxisRef.role): 'out', 'in', and 'norm' axes
+participate; 'bias' axes are excluded, matching torch_pruning which scores
+only ``.weight`` tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Mapping, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .graph import ChannelGraph, ChannelVar
+from .surgery import get_path
+
+ScoreFn = Callable[..., np.ndarray]
+
+
+def _channel_matrix(arr, axis: int, offset: int, size: int) -> np.ndarray:
+    """Slice [offset:offset+size] along axis, channel-first, flatten rest."""
+    a = np.asarray(arr)
+    a = np.take(a, np.arange(offset, offset + size), axis=axis)
+    a = np.moveaxis(a, axis, 0)
+    return a.reshape(size, -1)
+
+
+def _group_scores(
+    graph: ChannelGraph,
+    params,
+    var: ChannelVar,
+    local_fn: Callable[[np.ndarray, Optional[np.ndarray]], np.ndarray],
+    grads=None,
+) -> np.ndarray:
+    locals_ = []
+    for ref, off in graph.refs_of(var):
+        if ref.role == "bias":
+            continue
+        w = _channel_matrix(get_path(params, ref.param), ref.axis, off, var.size)
+        g = None
+        if grads is not None:
+            g = _channel_matrix(get_path(grads, ref.param), ref.axis, off, var.size)
+        locals_.append(local_fn(w, g))
+    if not locals_:
+        raise ValueError(f"no weight axes registered for var {var.name}")
+    return np.mean(np.stack(locals_, axis=0), axis=0)
+
+
+def magnitude_importance(graph, params, var, *, p: int = 2, grads=None) -> np.ndarray:
+    """MagnitudeImportance: Lp norm per channel (importance.py:18-126)."""
+    del grads
+    return _group_scores(
+        graph, params, var,
+        lambda w, g: np.linalg.norm(w.astype(np.float64), ord=p, axis=1))
+
+
+def random_importance(graph, params, var, *, rng: np.random.Generator, grads=None) -> np.ndarray:
+    """RandomImportance (importance.py:221-225)."""
+    del graph, params, grads
+    return rng.random(var.size)
+
+
+def taylor_importance(graph, params, var, *, grads, multivariable: bool = False) -> np.ndarray:
+    """First-order Taylor saliency over accumulated grads.
+
+    pip torch-pruning ~v1.1 TaylorImportance:
+      multivariable=True  -> |sum_j w_j * g_j| per channel ('taylor' pruner)
+      multivariable=False -> sum_j |w_j * g_j| per channel ('diff-pruning')
+    (switch at ddpm_prune.py:60,66).
+    """
+
+    def local(w, g):
+        wg = w.astype(np.float64) * g.astype(np.float64)
+        if multivariable:
+            return np.abs(wg.sum(axis=1))
+        return np.abs(wg).sum(axis=1)
+
+    return _group_scores(graph, params, var, local, grads=grads)
+
+
+def diff_pruning_importance(graph, params, var, *, grads) -> np.ndarray:
+    """The paper's criterion = TaylorImportance(multivariable=False)."""
+    return taylor_importance(graph, params, var, grads=grads, multivariable=False)
+
+
+def fisher_importance(graph, params, var, *, grads) -> np.ndarray:
+    """FisherImportance: sum_j g_j^2 (vendored importance.py:672-782)."""
+    return _group_scores(
+        graph, params, var,
+        lambda w, g: (g.astype(np.float64) ** 2).sum(axis=1), grads=grads)
+
+
+def full_taylor_importance(graph, params, var, *, grads, second_order: bool = True) -> np.ndarray:
+    """FullTaylorImportance: |sum w*g (+ sum (w*g)^2)| (importance.py:438-548)."""
+
+    def local(w, g):
+        wg = w.astype(np.float64) * g.astype(np.float64)
+        s = wg.sum(axis=1)
+        if second_order:
+            s = s + 0.5 * (wg**2).sum(axis=1)
+        return np.abs(s)
+
+    return _group_scores(graph, params, var, local, grads=grads)
+
+
+def make_importance(name: str, *, seed: int = 0, multivariable: Optional[bool] = None) -> ScoreFn:
+    """Factory keyed by the reference's --pruner choices (ddpm_prune.py:23)."""
+    if name in ("random", "reinit"):
+        rng = np.random.default_rng(seed)
+        return lambda graph, params, var, grads=None: random_importance(
+            graph, params, var, rng=rng)
+    if name == "magnitude":
+        return lambda graph, params, var, grads=None: magnitude_importance(
+            graph, params, var)
+    if name == "taylor":
+        mv = True if multivariable is None else multivariable
+        return lambda graph, params, var, grads=None: taylor_importance(
+            graph, params, var, grads=grads, multivariable=mv)
+    if name == "diff-pruning" or name == "ours":
+        return lambda graph, params, var, grads=None: diff_pruning_importance(
+            graph, params, var, grads=grads)
+    if name == "fisher":
+        return lambda graph, params, var, grads=None: fisher_importance(
+            graph, params, var, grads=grads)
+    if name in ("first_order_taylor", "full_taylor"):
+        return lambda graph, params, var, grads=None: full_taylor_importance(
+            graph, params, var, grads=grads, second_order=False)
+    if name == "second_order_taylor":
+        return lambda graph, params, var, grads=None: full_taylor_importance(
+            graph, params, var, grads=grads, second_order=True)
+    raise ValueError(f"unknown importance {name!r}")

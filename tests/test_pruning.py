@@ -1,0 +1,158 @@
+"""Pruning engine tests: group selection semantics, surgery shape
+consistency, concat offsets, GN/head grouping, importance golden values.
+(The reference has no tests — SURVEY.md §4 defines this strategy.)"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_cifar10_config, tiny_unet_config
+from diff_pruning_tpu.pruning.graph import CatVar, ChannelGraph
+from diff_pruning_tpu.pruning.importance import (
+    diff_pruning_importance,
+    magnitude_importance,
+    make_importance,
+    taylor_importance,
+)
+from diff_pruning_tpu.pruning.pruner import _select_keep, apply_pruning, prune
+from diff_pruning_tpu.pruning.surgery import flatten_params, slice_params, unflatten_params
+
+
+def _simple_graph():
+    g = ChannelGraph()
+    v = g.var("v", 8)
+    g.ref("w/kernel", 1, v, "out")
+    return g, v
+
+
+def test_magnitude_golden():
+    g, v = _simple_graph()
+    w = np.zeros((3, 8), dtype=np.float32)
+    w[:, 0] = [3, 4, 0]  # L2 = 5
+    w[:, 1] = [1, 0, 0]  # L2 = 1
+    params = {"w": {"kernel": jnp.asarray(w)}}
+    imp = magnitude_importance(g, params, v)
+    assert np.isclose(imp[0], 5.0) and np.isclose(imp[1], 1.0)
+
+
+def test_taylor_multivariable_switch():
+    """multivariable=True -> |sum w*g|; False -> sum |w*g| (ddpm_prune.py:60,66)."""
+    g, v = _simple_graph()
+    w = np.zeros((2, 8), dtype=np.float32)
+    gr = np.zeros((2, 8), dtype=np.float32)
+    w[:, 0] = [1.0, 1.0]
+    gr[:, 0] = [2.0, -2.0]  # w*g = [2, -2]
+    params = {"w": {"kernel": jnp.asarray(w)}}
+    grads = {"w": {"kernel": jnp.asarray(gr)}}
+    mv = taylor_importance(g, params, v, grads=grads, multivariable=True)
+    sv = diff_pruning_importance(g, params, v, grads=grads)
+    assert np.isclose(mv[0], 0.0)
+    assert np.isclose(sv[0], 4.0)
+
+
+def test_select_keep_group_div():
+    """GN-style grouping: prune uniformly per contiguous sub-block."""
+    from diff_pruning_tpu.pruning.graph import ChannelVar
+
+    v = ChannelVar("v", 8, group_div=2)
+    imp = np.array([0.1, 5, 6, 7, 8, 9, 0.2, 10.0])
+    keep = _select_keep(imp, v, sparsity=0.25)  # prune 2 -> 1 per block
+    assert list(keep) == [1, 2, 3, 4, 5, 7]
+    # per-block counts stay equal
+    assert (np.asarray(keep) < 4).sum() == 3
+
+
+def test_select_keep_round_to():
+    from diff_pruning_tpu.pruning.graph import ChannelVar
+
+    v = ChannelVar("v", 10, round_to=4)
+    imp = np.arange(10, dtype=np.float64)
+    keep = _select_keep(imp, v, sparsity=0.5)  # n_pruned 5 -> rounded to 4
+    assert len(keep) == 6
+
+
+def test_concat_offset_slicing():
+    """Slicing a consumer whose in-axis is a concat of two vars must shift
+    the second part's indices by the (pre-surgery) size of the first."""
+    g = ChannelGraph()
+    a = g.var("a", 4)
+    b = g.var("b", 4)
+    cat = CatVar((a, b))
+    g.ref("c/kernel", 0, cat, "in")
+    w = np.arange(8, dtype=np.float32)[:, None] * np.ones((8, 2), np.float32)
+    params = {"c": {"kernel": jnp.asarray(w)}}
+    out = slice_params(params, g, {"a": [0, 2], "b": [1, 3]})
+    got = np.asarray(out["c"]["kernel"])[:, 0]
+    assert list(got) == [0, 2, 5, 7]
+
+
+def test_flatten_roundtrip():
+    tree = {"a": {"b": jnp.ones((2,)), "c": {"d": jnp.zeros((3,))}}}
+    flat = flatten_params(tree)
+    assert set(flat) == {"a/b", "a/c/d"}
+    tree2 = unflatten_params(flat)
+    assert jnp.array_equal(tree2["a"]["c"]["d"], tree["a"]["c"]["d"])
+
+
+@pytest.mark.parametrize("pruner_name", ["magnitude", "random"])
+def test_unet_prune_rebuild_forward(pruner_name):
+    cfg = tiny_unet_config()
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    imp = make_importance(pruner_name, seed=0)
+    res = prune(model.graph, params, imp, sparsity=0.3)
+    new_params = apply_pruning(params, model.graph, res)
+    new_cfg = cfg.with_channel_sizes(res.channel_sizes)
+    m2 = UNet2D(new_cfg)
+    m2.graph.validate(new_params)
+    y = m2(new_params, jnp.zeros((2, 16, 16, 3)), jnp.array([0, 999]))
+    assert y.shape == (2, 16, 16, 3)
+    n_old = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+    n_new = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(new_params))
+    assert n_new < 0.65 * n_old
+
+
+def test_cifar_prune_matches_reference_ratios():
+    """At ratio 0.3 the reference reports 35.7M -> 19.8M params
+    (BASELINE.md CIFAR-10 table); our graph must land in the same regime."""
+    cfg = ddpm_cifar10_config()
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    n_base = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
+    assert abs(n_base - 35.7e6) < 0.2e6
+    res = prune(model.graph, params, make_importance("magnitude"), sparsity=0.3)
+    new_params = apply_pruning(params, model.graph, res)
+    n_new = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(new_params))
+    assert abs(n_new - 19.8e6) < 0.5e6
+
+
+def test_gn_group_div_propagates():
+    cfg = tiny_unet_config()
+    model = UNet2D(cfg)
+    for v in model.graph.prunable_vars():
+        if "inner" in v.name or "time_embedding" in v.name:
+            continue
+        assert v.group_div == cfg.norm_num_groups, v.name
+
+
+def test_pruned_checkpoint_roundtrip(tmp_path):
+    """Pruned model round-trips through (config.json, npz) — no pickles."""
+    from diff_pruning_tpu.utils.checkpoint import load_model, save_model
+
+    cfg = tiny_unet_config()
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    res = prune(model.graph, params, make_importance("magnitude"), sparsity=0.3)
+    new_params = apply_pruning(params, model.graph, res)
+    new_cfg = cfg.with_channel_sizes(res.channel_sizes)
+    save_model(str(tmp_path / "m"), new_cfg, new_params)
+    cfg2, params2 = load_model(str(tmp_path / "m"))
+    m2 = UNet2D(cfg2)
+    m2.graph.validate(params2)
+    x = jnp.ones((1, 16, 16, 3))
+    t = jnp.array([5])
+    np.testing.assert_allclose(
+        np.asarray(UNet2D(new_cfg)(new_params, x, t)),
+        np.asarray(m2(params2, x, t)), rtol=1e-6, atol=1e-6)
