@@ -1,0 +1,140 @@
+"""CLI: prune a pretrained DDPM UNet — flag-parity port of ddpm_prune.py.
+
+    python -m diff_pruning_tpu.cli.ddpm_prune \
+        --model_path <dir-with-unet-checkpoint> --save_path run/pruned \
+        --pruning_ratio 0.3 --pruner diff-pruning --thr 0.05 --dataset cifar10
+
+Differences from the reference (all deliberate, SURVEY.md §7):
+* pruned checkpoints are (config.json, params.npz) — no nn.Module pickles;
+* the Taylor sweep runs as a jitted on-device loop (diffpruning/sweep.py);
+* model_path accepts a diffusers save_pretrained dir (converted on the fly,
+  torch required) or this framework's own checkpoint dir.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", type=str, default=None, help="cifar10 | npz | image folder")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--save_path", type=str, required=True)
+    p.add_argument("--pruning_ratio", type=float, default=0.3)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--pruner", type=str, default="taylor",
+                   choices=["taylor", "random", "magnitude", "reinit", "diff-pruning",
+                            "fisher", "first_order_taylor", "second_order_taylor"])
+    p.add_argument("--thr", type=float, default=0.05, help="threshold for diff-pruning")
+    p.add_argument("--max_steps", type=int, default=None,
+                   help="cap the Taylor sweep (default: num_train_timesteps)")
+    p.add_argument("--device_loop", action="store_true",
+                   help="run the sweep fully on-device (lax.while_loop)")
+    p.add_argument("--global_pruning", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip_vis", action="store_true")
+    return p.parse_args(argv)
+
+
+def load_unet(model_path: str):
+    """Load (config, params) from our layout or a diffusers directory."""
+    from ..models.unet2d import UNet2DConfig
+    from ..utils.checkpoint import load_model
+
+    for sub in ("unet", ""):
+        d = os.path.join(model_path, sub)
+        if os.path.exists(os.path.join(d, "params.npz")):
+            return load_model(model_path, subfolder=sub)
+    # diffusers layout: unet/config.json + diffusion_pytorch_model.bin
+    from ..utils.convert import load_diffusers_unet_checkpoint
+
+    for sub in ("unet", ""):
+        d = os.path.join(model_path, sub)
+        if os.path.exists(os.path.join(d, "config.json")):
+            with open(os.path.join(d, "config.json")) as f:
+                cfg = UNet2DConfig.from_json(f.read())
+            params = load_diffusers_unet_checkpoint(d)
+            return cfg, params
+    raise FileNotFoundError(f"no UNet checkpoint under {model_path}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..diffpruning.sweep import accumulate_taylor_grads, accumulate_taylor_grads_scan
+    from ..models.unet2d import UNet2D
+    from ..pruning.flops import count_ops_and_params
+    from ..pruning.importance import make_importance
+    from ..pruning.pruner import apply_pruning, prune
+    from ..schedulers.ddpm import DiffusionSchedule
+    from ..utils.checkpoint import save_model
+
+    cfg, params = load_unet(args.model_path)
+    model = UNet2D(cfg)
+    model.graph.validate(params)
+    schedule = DiffusionSchedule.create()
+
+    sample_shape = (1, cfg.sample_size or 32, cfg.sample_size or 32, cfg.in_channels)
+    base_macs, base_params = count_ops_and_params(model, params, sample_shape)
+
+    grads = None
+    if args.pruning_ratio > 0:
+        if args.pruner in ("taylor", "diff-pruning", "fisher",
+                           "first_order_taylor", "second_order_taylor"):
+            from ..data.datasets import get_dataset, iterate_batches
+
+            ds = get_dataset(args.dataset, resolution=cfg.sample_size)
+            print(f"Dataset size: {len(ds)}")
+            batch = next(iterate_batches(ds, args.batch_size, seed=args.seed))
+            x0 = jnp.asarray(batch)
+            noise = jax.random.normal(jax.random.key(args.seed), x0.shape)
+            thr = args.thr if args.pruner == "diff-pruning" else None
+            print("Accumulating gradients for pruning...")
+            t0 = time.time()
+            sweep = accumulate_taylor_grads_scan if args.device_loop else accumulate_taylor_grads
+            res_sweep = sweep(model, params, schedule, x0, noise,
+                              thr=thr, max_steps=args.max_steps, loss_type="mse")
+            grads = res_sweep.grads
+            print(f"  sweep: {res_sweep.steps_run} timesteps in {time.time()-t0:.1f}s")
+
+        imp = make_importance(args.pruner, seed=args.seed)
+        result = prune(model.graph, params, imp, sparsity=args.pruning_ratio,
+                       grads=grads, global_pruning=args.global_pruning)
+        new_params = apply_pruning(params, model.graph, result)
+        new_cfg = cfg.with_channel_sizes(result.channel_sizes)
+        new_model = UNet2D(new_cfg)
+        new_model.graph.validate(new_params)
+
+        if args.pruner == "reinit":  # ddpm_prune.py:125-131
+            new_params = new_model.init(jax.random.key(args.seed))
+
+        macs, n_params = count_ops_and_params(new_model, new_params, sample_shape)
+        print("#Params: {:.4f} M => {:.4f} M".format(base_params / 1e6, n_params / 1e6))
+        print("#MACS: {:.4f} G => {:.4f} G".format(base_macs / 1e9, macs / 1e9))
+    else:
+        new_cfg, new_params, new_model = cfg, params, model
+        macs, n_params = base_macs, base_params
+
+    save_model(args.save_path, new_cfg, new_params)
+    print(f"Saved pruned model to {args.save_path}")
+
+    if not args.skip_vis:
+        from ..sampling.ddim_sampler import SamplerConfig, make_sampler, save_image_grid
+
+        sampler = make_sampler(new_model, new_params, schedule,
+                               SamplerConfig(num_inference_steps=100))
+        n_vis = min(args.batch_size, 64)
+        imgs = sampler(jax.random.key(0), n_vis, cfg.sample_size or 32, cfg.in_channels)
+        os.makedirs(os.path.join(args.save_path, "vis"), exist_ok=True)
+        save_image_grid(imgs, os.path.join(args.save_path, "vis", "after_pruning.png"))
+        print("Wrote vis/after_pruning.png")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""CLI: large-batch DDIM sampling for FID — port of ddpm_sample.py.
+
+The reference shards across GPU processes (process_{i} subdirs, seed+i,
+ddpm_sample.py:55-77); here one SPMD program shards each batch over the TPU
+mesh and a single host writes all images (multi-host slices write per-process
+subdirs automatically).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--total_samples", type=int, default=50000)
+    p.add_argument("--ddim_steps", type=int, default=100)
+    p.add_argument("--skip_type", type=str, default="uniform", choices=["uniform", "quad"])
+    p.add_argument("--style", type=str, default="ddim_exp", choices=["diffusers", "ddim_exp"])
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--no_clip", action="store_true")
+    p.add_argument("--use_ema", action="store_true",
+                   help="load unet_ema subfolder if present")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+
+    from ..models.unet2d import UNet2D
+    from ..parallel.mesh import make_mesh
+    from ..pruning.flops import count_ops_and_params
+    from ..sampling.ddim_sampler import SamplerConfig, make_sampler
+    from ..sampling.distributed import sample_many
+    from ..schedulers.ddpm import DiffusionSchedule
+    from ..utils.checkpoint import load_model
+    from .ddpm_prune import load_unet
+
+    if args.use_ema and os.path.exists(
+            os.path.join(args.model_path, "unet_ema", "params.npz")):
+        cfg, params = load_model(args.model_path, subfolder="unet_ema")
+    else:
+        cfg, params = load_unet(args.model_path)
+    model = UNet2D(cfg)
+    schedule = DiffusionSchedule.create()
+
+    hw = cfg.sample_size or 32
+    macs, n = count_ops_and_params(model, params, (1, hw, hw, cfg.in_channels))
+    print("#Params: {:.4f} M".format(n / 1e6))
+    print("#MACS: {:.4f} G".format(macs / 1e9))
+
+    mesh = make_mesh()
+    sampler = make_sampler(model, params, schedule, SamplerConfig(
+        num_inference_steps=args.ddim_steps,
+        skip_type=args.skip_type,
+        style=args.style,
+        eta=args.eta,
+        clip_sample=not args.no_clip,
+    ))
+    t0 = time.time()
+    sample_many(sampler, key=jax.random.key(args.seed),
+                total_images=args.total_samples, batch_size=args.batch_size,
+                hw=hw, channels=cfg.in_channels, mesh=mesh,
+                outdir=args.output_dir, progress=True)
+    dt = time.time() - t0
+    print(f"{args.total_samples} images in {dt:.1f}s "
+          f"({args.total_samples/dt:.2f} imgs/s at {args.ddim_steps} DDIM steps)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""CLI: finetune a (pruned) DDPM UNet — flag-parity port of ddpm_train.py.
+
+Data-parallel over every visible TPU chip via a 1-D mesh; EMA, antithetic t,
+sum-SE loss, grad clip 1.0 (reference hyperparams: scripts/finetune_ddpm_cifar10.sh
+— bs128, 100k iters, lr 2e-4, EMA 0.9999, dropout 0.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", type=str, required=True)
+    p.add_argument("--model_path", type=str, required=True,
+                   help="checkpoint dir (ours or diffusers)")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--train_batch_size", type=int, default=128)
+    p.add_argument("--num_iters", type=int, default=100_000)
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--lr_warmup_steps", type=int, default=0)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=0.0)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--no_ema", dest="use_ema", action="store_false")
+    p.add_argument("--ema_max_decay", type=float, default=0.9999)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--save_model_steps", type=int, default=1000)
+    p.add_argument("--log_steps", type=int, default=100)
+    p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mixed_precision", type=str, default="no", choices=["no", "bf16"])
+    p.add_argument("--vis_samples", type=int, default=64)
+    p.add_argument("--kd", action="store_true", help="distill from the unpruned teacher")
+    p.add_argument("--teacher_path", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..data.datasets import get_dataset, iterate_batches
+    from ..models.unet2d import UNet2D
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..sampling.ddim_sampler import SamplerConfig, make_sampler, save_image_grid
+    from ..schedulers.ddpm import DiffusionSchedule
+    from ..training.finetune import (TrainConfig, TrainState, init_train_state,
+                                     make_optimizer, make_train_step)
+    from ..utils.checkpoint import load_train_state, save_model, save_train_state
+    from .ddpm_prune import load_unet
+
+    cfg, params = load_unet(args.model_path)
+    if args.dropout:
+        cfg = dataclasses.replace(cfg, dropout=args.dropout)
+    model = UNet2D(cfg)
+    schedule = DiffusionSchedule.create()
+
+    teacher = None
+    if args.kd:
+        tpath = args.teacher_path or args.model_path
+        tcfg, tparams = load_unet(tpath)
+        teacher = (UNet2D(dataclasses.replace(tcfg, dropout=0.0)), tparams)
+
+    tcfg_train = TrainConfig(
+        learning_rate=args.learning_rate,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_eps=args.adam_epsilon,
+        weight_decay=args.adam_weight_decay,
+        ema_decay=args.ema_max_decay,
+        use_ema=args.use_ema,
+        lr_warmup_steps=args.lr_warmup_steps,
+        num_train_steps=args.num_iters,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+    )
+
+    mesh = make_mesh()
+    print(f"mesh: {mesh.shape}, devices: {len(jax.devices())}")
+    state = init_train_state(params, tcfg_train)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        step, rparams, ema, opt_flat = load_train_state(args.resume_from_checkpoint)
+        state = init_train_state(rparams, tcfg_train)
+        if ema is not None:
+            state = TrainState(jnp.asarray(step), rparams, state.opt_state, ema)
+        if opt_flat is not None:
+            leaves, treedef = jax.tree.flatten(state.opt_state)
+            state = TrainState(state.step, state.params,
+                               jax.tree.unflatten(treedef, opt_flat), state.ema_params)
+        start_step = step
+        print(f"resumed from step {step}")
+    state = replicate(mesh, state)
+
+    step_fn = make_train_step(model, schedule, tcfg_train, mesh=mesh, teacher=teacher)
+
+    ds = get_dataset(args.dataset, resolution=cfg.sample_size)
+    print(f"Dataset size: {len(ds)}")
+    batches = iterate_batches(ds, args.train_batch_size, seed=args.seed)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    os.makedirs(os.path.join(args.output_dir, "vis"), exist_ok=True)
+    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+
+    def make_vis(params_for_vis, tag):
+        vis_model = UNet2D(dataclasses.replace(cfg, dropout=0.0))
+        sampler = make_sampler(vis_model, params_for_vis, schedule,
+                               SamplerConfig(num_inference_steps=100))
+        imgs = sampler(jax.random.key(0), args.vis_samples,
+                       cfg.sample_size or 32, cfg.in_channels)
+        save_image_grid(imgs, os.path.join(args.output_dir, "vis", f"{tag}.png"))
+
+    key = jax.random.key(args.seed)
+    t_last, s_last = time.time(), start_step
+    for step in range(start_step, args.num_iters):
+        batch = shard_batch(mesh, jnp.asarray(next(batches)))
+        key, skey = jax.random.split(key)
+        state, metrics = step_fn(state, batch, skey)
+        if (step + 1) % args.log_steps == 0:
+            loss = float(metrics["loss"])
+            now = time.time()
+            ips = (step + 1 - s_last) * args.train_batch_size / (now - t_last)
+            t_last, s_last = now, step + 1
+            rec = {"step": step + 1, "loss": loss, "imgs_per_sec": round(ips, 1)}
+            print(rec)
+            metrics_log.write(json.dumps(rec) + "\n")
+            metrics_log.flush()
+        if (step + 1) % args.save_model_steps == 0 or step + 1 == args.num_iters:
+            save_train_state(
+                os.path.join(args.output_dir, "ckpt"),
+                step=step + 1,
+                params=state.params,
+                ema_params=state.ema_params,
+                opt_state_flat=jax.tree.leaves(state.opt_state),
+            )
+            save_model(args.output_dir, cfg, state.params, subfolder="unet")
+            if state.ema_params is not None:
+                save_model(args.output_dir, cfg, state.ema_params, subfolder="unet_ema")
+            make_vis(state.ema_params or state.params, f"iter-{step+1}")
+            print(f"saved checkpoint at step {step+1}")
+    metrics_log.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""CLI: FID between two paths — port of fid_score.py.
+
+    python -m diff_pruning_tpu.cli.fid_score path1 path2 [--save-stats]
+
+Paths may be image dirs, dataset names (cifar10), or .npz stats files.
+Requires local FID inception weights (see eval/inception.py); the converter
+tools/convert_inception.py turns the pt_inception .pth into a portable npz.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("path", nargs=2)
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--res", type=int, default=None, help="resize/crop images first")
+    p.add_argument("--inception-weights", type=str, default=None)
+    p.add_argument("--save-stats", action="store_true",
+                   help="treat path2 as the output .npz for path1's statistics")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from ..eval.fid import fid_between_paths, save_stats, statistics_of_path
+    from ..eval.inception import load_fid_inception_params
+
+    params = load_fid_inception_params(args.inception_weights)
+    if params is None:
+        raise SystemExit(
+            "FID inception weights not found locally. Provide --inception-weights "
+            "(pt_inception-2015-12-05-6726825d.pth or converted .npz); this "
+            "environment has no network access.")
+
+    if args.save_stats:
+        mu, sigma = statistics_of_path(args.path[0], params,
+                                       batch_size=args.batch_size,
+                                       resolution=args.res)
+        save_stats(args.path[1], mu, sigma)
+        print(f"saved stats to {args.path[1]}")
+        return
+
+    fid = fid_between_paths(args.path[0], args.path[1], params,
+                            batch_size=args.batch_size, resolution=args.res)
+    print("FID: ", fid)
+
+
+if __name__ == "__main__":
+    main()

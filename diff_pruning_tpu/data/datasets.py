@@ -1,0 +1,166 @@
+"""Host-side data loading (the L1 layer; SURVEY.md §2.1 'Data utils').
+
+Replaces utils.py get_dataset / UnlabeledImageFolder and the ddpm_exp dataset
+transforms with torch-free NumPy/PIL pipelines feeding `jax.device_put`.
+Supported sources:
+
+* CIFAR-10 python-pickle batches (cifar-10-batches-py) — local only, no
+  downloads (zero-egress environment);
+* recursive image folders (UnlabeledImageFolder, utils.py:8-24) with the
+  256-crop pipeline for big images (utils.py:48-56) and the CelebA
+  center-crop recipe (ddpm_exp/datasets/__init__.py:61-107);
+* npz arrays (N,H,W,C) uint8.
+
+Outputs are NHWC float32 in [-1,1] (Normalize(0.5,0.5), utils.py:43) with
+random horizontal flip at iteration time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from glob import glob
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """In-memory uint8 NHWC images."""
+
+    images: np.ndarray  # (N,H,W,C) uint8
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+
+def load_cifar10(root: str) -> ArrayDataset:
+    """Load CIFAR-10 from the standard python-pickle batch directory."""
+    d = root
+    if os.path.isdir(os.path.join(root, "cifar-10-batches-py")):
+        d = os.path.join(root, "cifar-10-batches-py")
+    batches = sorted(glob(os.path.join(d, "data_batch_*")))
+    if not batches:
+        raise FileNotFoundError(f"no CIFAR-10 batches under {root}")
+    imgs = []
+    for b in batches:
+        with open(b, "rb") as f:
+            entry = pickle.load(f, encoding="latin1")
+        arr = np.asarray(entry["data"], np.uint8).reshape(-1, 3, 32, 32)
+        imgs.append(arr.transpose(0, 2, 3, 1))
+    return ArrayDataset(np.concatenate(imgs))
+
+
+def load_npz(path: str, key: str = "images") -> ArrayDataset:
+    with np.load(path) as z:
+        arr = z[key] if key in z.files else z[z.files[0]]
+    return ArrayDataset(np.asarray(arr, np.uint8))
+
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp", ".JPEG", ".PNG", ".JPG")
+
+
+def list_image_files(root: str) -> list:
+    files = []
+    for ext in IMG_EXTS:
+        files.extend(glob(os.path.join(root, "**", f"*{ext}"), recursive=True))
+    return sorted(set(files))
+
+
+def _load_image(path: str, resolution: Optional[int], celeba_crop: bool) -> np.ndarray:
+    from PIL import Image
+
+    im = Image.open(path).convert("RGB")
+    if celeba_crop:
+        # ddpm_exp/datasets/__init__.py:70-90: crop around (cx=89, cy=121),
+        # 128x128 window, then resize.
+        cx, cy = 89, 121
+        x1, x2, y1, y2 = cy - 64, cy + 64, cx - 64, cx + 64
+        im = im.crop((y1, x1, y2, x2))
+    if resolution is not None and im.size != (resolution, resolution):
+        # utils.py:48-56: resize shorter side then center crop
+        w, h = im.size
+        s = resolution / min(w, h)
+        im = im.resize((max(resolution, round(w * s)), max(resolution, round(h * s))))
+        w, h = im.size
+        left, top = (w - resolution) // 2, (h - resolution) // 2
+        im = im.crop((left, top, left + resolution, top + resolution))
+    return np.asarray(im, np.uint8)
+
+
+@dataclasses.dataclass
+class ImageFolderDataset:
+    """Recursive unlabeled image folder (utils.py:8-24)."""
+
+    files: list
+    resolution: Optional[int] = None
+    celeba_crop: bool = False
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def load(self, idx: int) -> np.ndarray:
+        return _load_image(self.files[idx], self.resolution, self.celeba_crop)
+
+
+def get_dataset(name_or_path: str, resolution: Optional[int] = None):
+    """utils.py:31-58 equivalent: 'cifar10' | npz | image dir."""
+    if name_or_path is None:
+        raise ValueError("dataset required")
+    if name_or_path.endswith(".npz"):
+        return load_npz(name_or_path)
+    if os.path.isdir(name_or_path):
+        if glob(os.path.join(name_or_path, "*data_batch_*")) or os.path.isdir(
+                os.path.join(name_or_path, "cifar-10-batches-py")):
+            return load_cifar10(name_or_path)
+        files = list_image_files(name_or_path)
+        if files:
+            return ImageFolderDataset(files, resolution=resolution or 256)
+    if "cifar" in name_or_path.lower():
+        for root in (name_or_path, "data/cifar10", os.path.expanduser("~/data/cifar10")):
+            try:
+                return load_cifar10(root)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+        raise FileNotFoundError(
+            "CIFAR-10 batches not found; place cifar-10-batches-py locally "
+            "(no network access in this environment)")
+    raise FileNotFoundError(name_or_path)
+
+
+def normalize(batch_u8: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [-1,1] (Normalize(0.5,0.5))."""
+    return batch_u8.astype(np.float32) / 127.5 - 1.0
+
+
+def iterate_batches(
+    dataset,
+    batch_size: int,
+    *,
+    seed: int = 0,
+    flip: bool = True,
+    drop_last: bool = True,
+    loop: bool = True,
+) -> Iterator[np.ndarray]:
+    """Shuffled epochs of normalized NHWC float32 batches with random flip."""
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    in_memory = isinstance(dataset, ArrayDataset)
+    while True:
+        order = rng.permutation(n)
+        end = n - (n % batch_size) if drop_last else n
+        for i in range(0, end, batch_size):
+            idx = order[i:i + batch_size]
+            if in_memory:
+                imgs = dataset.images[idx]
+            else:
+                imgs = np.stack([dataset.load(j) for j in idx])
+            if flip:
+                flips = rng.random(len(imgs)) < 0.5
+                imgs = imgs.copy()
+                imgs[flips] = imgs[flips, :, ::-1]
+            yield normalize(imgs)
+        if not loop:
+            return

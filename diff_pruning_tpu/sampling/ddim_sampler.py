@@ -1,0 +1,106 @@
+"""DDIM/DDPM sampling as a single jitted lax.scan over the timestep sequence.
+
+Replaces the reference's Python pipeline loops
+(diffusers/pipelines/ddim/pipeline_ddim.py:103-112,
+ddpm_exp/functions/denoising.py:10-67) with one compiled program per
+(batch_shape, num_steps): the whole trajectory runs on-chip; data-parallel
+sampling shards the batch across the mesh (distributed.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedulers.ddim import ddim_prev_timesteps, ddim_step, ddim_timesteps, ddpm_step
+from ..schedulers.ddpm import DiffusionSchedule
+
+
+@dataclasses.dataclass
+class SamplerConfig:
+    num_inference_steps: int = 100
+    skip_type: str = "uniform"  # 'uniform' | 'quad'
+    style: str = "diffusers"  # timestep-sequence family; 'ddim_exp' for paper runs
+    eta: float = 0.0
+    clip_sample: bool = True  # DDIMScheduler default for DDPM checkpoints
+    kind: str = "ddim"  # 'ddim' | 'ddpm'
+    diffusers_stride: bool = False  # root-pipeline prev-step quirk (scheduling_ddim.py:312)
+
+
+def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
+                 class_labels: bool = False) -> Callable:
+    """Returns sample(key, batch_size, hw, channels[, labels]) -> images in [0,1]."""
+    ts = ddim_timesteps(cfg.num_inference_steps, schedule.num_train_timesteps,
+                        cfg.skip_type, style=cfg.style)
+    prev = ddim_prev_timesteps(ts, schedule.num_train_timesteps,
+                               diffusers_stride=cfg.diffusers_stride)
+    ts_j = jnp.asarray(ts, jnp.int32)
+    prev_j = jnp.asarray(prev, jnp.int32)
+    needs_noise = cfg.eta > 0.0 or cfg.kind == "ddpm"
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    def sample(key, batch_size: int, hw: int, channels: int, labels=None):
+        key, init_key = jax.random.split(key)
+        x = jax.random.normal(init_key, (batch_size, hw, hw, channels))
+
+        def step(carry, inp):
+            x, key = carry
+            t, tp = inp
+            tb = jnp.full((batch_size,), t, jnp.int32)
+            eps = model(params, x, tb, labels) if labels is not None else model(params, x, tb)
+            if needs_noise:
+                key, nk = jax.random.split(key)
+                z = jax.random.normal(nk, x.shape)
+            else:
+                z = None
+            if cfg.kind == "ddim":
+                x = ddim_step(schedule, x, eps, t, tp, eta=cfg.eta,
+                              clip_sample=cfg.clip_sample, noise=z)
+            else:
+                x = ddpm_step(schedule, x, eps, t, tp, z)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, key), (ts_j, prev_j))
+        # [-1,1] -> [0,1] like pipeline_ddim.py (image/2+0.5).clamp(0,1)
+        return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
+
+    return sample
+
+
+def to_uint8(images: jnp.ndarray) -> np.ndarray:
+    """[0,1] float NHWC -> uint8 numpy (reference: numpy round path)."""
+    return np.asarray(jnp.round(jnp.clip(images, 0, 1) * 255.0)).astype(np.uint8)
+
+
+def save_image_grid(images, path: str, nrow: int = 8) -> None:
+    """torchvision.utils.save_image equivalent (PIL, no torch)."""
+    from PIL import Image
+
+    arr = to_uint8(images)
+    n, h, w, c = arr.shape
+    ncol = nrow
+    nr = (n + ncol - 1) // ncol
+    pad = 2
+    grid = np.full(((h + pad) * nr + pad, (w + pad) * ncol + pad, c), 255, np.uint8)
+    for i in range(n):
+        r, col = divmod(i, ncol)
+        y0, x0 = pad + r * (h + pad), pad + col * (w + pad)
+        grid[y0:y0 + h, x0:x0 + w] = arr[i]
+    Image.fromarray(grid.squeeze()).save(path)
+
+
+def save_images(images, outdir: str, start_index: int = 0) -> None:
+    import os
+
+    from PIL import Image
+
+    os.makedirs(outdir, exist_ok=True)
+    arr = to_uint8(images)
+    for i, im in enumerate(arr):
+        Image.fromarray(im.squeeze()).save(
+            os.path.join(outdir, f"{start_index + i:06d}.png"))

@@ -1,0 +1,67 @@
+"""Sharded large-batch sampling (the 50k-image FID runs).
+
+The reference shards work across processes by index with per-process seeds
+and barriers (ddpm_sample.py:55-77, diffusion.py:390-427). Here a single
+SPMD program shards each sampling batch across the mesh's data axis; on
+multi-host slices each host saves its local shard (process_index subdirs,
+matching the reference's layout).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import data_sharding
+from .ddim_sampler import save_images, to_uint8
+
+
+def sample_many(
+    sampler: Callable,
+    *,
+    key: jax.Array,
+    total_images: int,
+    batch_size: int,
+    hw: int,
+    channels: int = 3,
+    mesh=None,
+    outdir: Optional[str] = None,
+    labels_fn: Optional[Callable[[jax.Array, int], jax.Array]] = None,
+    progress: bool = False,
+) -> Optional[np.ndarray]:
+    """Run `sampler` repeatedly; save PNGs to outdir or return the array.
+
+    batch_size is the global per-call batch (it is sharded over the mesh).
+    num_batches = ceil(total/batch) like ddpm_sample.py:67.
+    """
+    num_batches = (total_images + batch_size - 1) // batch_size
+    sh = data_sharding(mesh) if mesh is not None else None
+    results = [] if outdir is None else None
+    saved = 0
+    for b in range(num_batches):
+        bkey = jax.random.fold_in(key, b)
+        if labels_fn is not None:
+            labels = labels_fn(bkey, batch_size)
+            imgs = sampler(bkey, batch_size, hw, channels, labels)
+        else:
+            imgs = sampler(bkey, batch_size, hw, channels)
+        imgs = np.asarray(imgs)
+        take = min(batch_size, total_images - saved)
+        imgs = imgs[:take]
+        if outdir is not None:
+            sub = outdir
+            if jax.process_count() > 1:
+                sub = os.path.join(outdir, f"process_{jax.process_index()}")
+            save_images(imgs, sub, start_index=saved)
+        else:
+            results.append(imgs)
+        saved += take
+        if progress:
+            print(f"  sampled {saved}/{total_images}")
+    if results is not None:
+        return np.concatenate(results, axis=0)
+    return None

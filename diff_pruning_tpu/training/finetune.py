@@ -1,0 +1,175 @@
+"""Post-pruning finetune: the data-parallel DDPM training step.
+
+Reference semantics (ddpm_train.py:423-537 and
+ddpm_exp/runners/diffusion.py:276-344), kept exactly:
+
+* antithetic timestep sampling: t ~ U[0,T) for bsz//2+1, concat with
+  T-1-t, truncate to bsz (ddpm_train.py:446-449);
+* loss = sum-squared-error per image, mean over batch (ddpm_train.py:459 —
+  NOT mean-MSE; the x3072 factor is part of the LR calibration);
+* grad-norm clip 1.0 (ddpm_train.py:462), Adam, optional LR warmup;
+* EMA pytree update each optimizer step (ddpm_train.py:467-469);
+* gradient accumulation by micro-batch scan.
+
+DDP becomes SPMD: the step is jitted with batch-sharded data and replicated
+params over a 1-D 'data' mesh; XLA inserts the grad psum that NCCL/DDP did
+in the reference (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..schedulers.ddpm import DiffusionSchedule
+from .ema import ema_update
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 2e-4
+    adam_beta1: float = 0.9  # ddpm_train.py defaults (:148-156)
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    ema_decay: float = 0.9999
+    use_ema: bool = True
+    lr_warmup_steps: int = 0
+    num_train_steps: int = 100_000
+    lr_schedule: str = "constant"  # 'constant' | 'cosine'
+    gradient_accumulation_steps: int = 1
+
+
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: dict
+    opt_state: object
+    ema_params: Optional[dict]
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.lr_schedule == "constant":
+        lr = optax.schedules.warmup_constant_schedule(
+            0.0, cfg.learning_rate, cfg.lr_warmup_steps) if cfg.lr_warmup_steps \
+            else cfg.learning_rate
+    elif cfg.lr_schedule == "cosine":
+        lr = optax.schedules.warmup_cosine_decay_schedule(
+            0.0, cfg.learning_rate, cfg.lr_warmup_steps, cfg.num_train_steps)
+    else:
+        raise ValueError(cfg.lr_schedule)
+    tx = [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip else []
+    if cfg.weight_decay:
+        tx.append(optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
+                              eps=cfg.adam_eps, weight_decay=cfg.weight_decay))
+    else:
+        tx.append(optax.adam(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=cfg.adam_eps))
+    return optax.chain(*tx)
+
+
+def init_train_state(params: dict, cfg: TrainConfig) -> TrainState:
+    opt = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt.init(params),
+        ema_params=jax.tree.map(jnp.copy, params) if cfg.use_ema else None,
+    )
+
+
+def antithetic_timesteps(key, batch_size: int, num_train_timesteps: int):
+    """t ∪ (T-1-t) (ddpm_train.py:446-449 / diffusion.py:296-299)."""
+    half = jax.random.randint(key, (batch_size // 2 + 1,), 0, num_train_timesteps)
+    t = jnp.concatenate([half, num_train_timesteps - half - 1])[:batch_size]
+    return t
+
+
+def ddpm_loss(model, params, schedule: DiffusionSchedule, x0, noise, t,
+              *, dropout_rng=None, teacher_eps=None, kd_weight: float = 0.7):
+    """Sum-SE/batch-mean loss; optional distillation mix
+    (0.7 teacher-match + 0.3 noise, ddpm_exp/functions/losses.py:17-31)."""
+    noisy = schedule.add_noise(x0, noise, t)
+    out = model(params, noisy, t, dropout_rng=dropout_rng)
+    nl = ((out - noise).astype(jnp.float32) ** 2).sum(axis=(1, 2, 3)).mean()
+    if teacher_eps is None:
+        return nl
+    kl = ((out - teacher_eps).astype(jnp.float32) ** 2).sum(axis=(1, 2, 3)).mean()
+    return kd_weight * kl + (1.0 - kd_weight) * nl
+
+
+def make_train_step(model, schedule: DiffusionSchedule, cfg: TrainConfig,
+                    mesh=None, teacher: Optional[Tuple[object, dict]] = None):
+    """Jitted (state, batch, key) -> (state, metrics); batch NHWC in [-1,1].
+
+    With ``mesh``, the returned step is jitted with batch sharded on the
+    'data' axis and state replicated — the DDP equivalent. ``teacher`` is an
+    optional (model, params) for KD finetuning (finetune.py --kd).
+    """
+    opt = make_optimizer(cfg)
+    accum = cfg.gradient_accumulation_steps
+
+    def loss_fn(params, x0, noise, t, dropout_rng):
+        teacher_eps = None
+        if teacher is not None:
+            tm, tp = teacher
+            teacher_eps = tm(tp, schedule.add_noise(x0, noise, t), t)
+        return ddpm_loss(model, params, schedule, x0, noise, t,
+                         dropout_rng=dropout_rng, teacher_eps=teacher_eps)
+
+    def step_fn(state: TrainState, batch: jnp.ndarray, key) -> Tuple[TrainState, dict]:
+        nkey, tkey, dkey = jax.random.split(key, 3)
+        bsz = batch.shape[0]
+        noise = jax.random.normal(nkey, batch.shape, batch.dtype)
+        t = antithetic_timesteps(tkey, bsz, schedule.num_train_timesteps)
+        if accum > 1:
+            mb = bsz // accum
+
+            def micro(g_acc, i):
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * mb, mb)
+                l, g = jax.value_and_grad(loss_fn)(
+                    state.params, sl(batch), sl(noise), sl(t),
+                    jax.random.fold_in(dkey, i))
+                return jax.tree.map(jnp.add, g_acc, g), l
+
+            g0 = jax.tree.map(jnp.zeros_like, state.params)
+            grads, losses = jax.lax.scan(micro, g0, jnp.arange(accum))
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            loss = losses.mean()
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch, noise, t, dkey)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = ema_update(ema, params, cfg.ema_decay)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(state.step + 1, params, opt_state, ema),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.step, s.params, s.opt_state, s.ema_params), None),
+    lambda _, c: TrainState(*c),
+)

@@ -1,0 +1,156 @@
+"""Diff-pruning sweep semantics, data-parallel train step, jitted sampler."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diff_pruning_tpu.diffpruning.sweep import (
+    accumulate_taylor_grads,
+    accumulate_taylor_grads_scan,
+)
+from diff_pruning_tpu.models.unet2d import UNet2D, tiny_unet_config
+from diff_pruning_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from diff_pruning_tpu.sampling.ddim_sampler import SamplerConfig, make_sampler
+from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+from diff_pruning_tpu.training.finetune import (
+    TrainConfig,
+    antithetic_timesteps,
+    init_train_state,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = tiny_unet_config(attn=False)
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    return cfg, model, params
+
+
+def test_sweep_host_vs_scan_equal(tiny):
+    """Host-loop and on-device while_loop sweeps must agree exactly on
+    steps-run and accumulated grads (same early-exit semantics)."""
+    _, model, params = tiny
+    sched = DiffusionSchedule.create(num_train_timesteps=50)
+    x0 = jax.random.normal(jax.random.key(1), (4, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(2), (4, 16, 16, 3))
+    with jax.default_matmul_precision("float32"):
+        r1 = accumulate_taylor_grads(model, params, sched, x0, noise, thr=0.9,
+                                     max_steps=50)
+        r2 = accumulate_taylor_grads_scan(model, params, sched, x0, noise, thr=0.9,
+                                          max_steps=50)
+    assert r1.steps_run == r2.steps_run
+    for a, b in zip(jax.tree.leaves(r1.grads), jax.tree.leaves(r2.grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_sweep_early_exit_semantics(tiny):
+    """Break AFTER accumulating the breaking step (ddpm_prune.py:100-106):
+    with thr high enough to trip at step 1, grads include steps 0 and 1."""
+    _, model, params = tiny
+    sched = DiffusionSchedule.create(num_train_timesteps=50)
+    x0 = jnp.zeros((2, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+    res = accumulate_taylor_grads(model, params, sched, x0, noise, thr=10.0,
+                                  max_steps=50)
+    # thr=10: loss_max=loss0 at step 0 -> loss0 < 10*loss0 is TRUE already at
+    # step 0 (reference would also break at step 0 when thr>=1)
+    assert res.steps_run == 1
+    ref = accumulate_taylor_grads(model, params, sched, x0, noise, thr=None,
+                                  max_steps=1)
+    for a, b in zip(jax.tree.leaves(res.grads), jax.tree.leaves(ref.grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_sweep_no_thr_runs_all(tiny):
+    _, model, params = tiny
+    sched = DiffusionSchedule.create(num_train_timesteps=10)
+    x0 = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+    res = accumulate_taylor_grads(model, params, sched, x0, noise, thr=None)
+    assert res.steps_run == 10
+
+
+def test_antithetic_timesteps():
+    t = antithetic_timesteps(jax.random.key(0), 8, 1000)
+    assert t.shape == (8,)
+    half = np.asarray(t[: 8 // 2 + 1])
+    # the tail entries are T-1 - head entries (ddpm_train.py:446-449)
+    anti = np.asarray(t[8 // 2 + 1:])
+    np.testing.assert_array_equal(anti, 1000 - 1 - half[: len(anti)])
+
+
+def test_train_step_data_parallel(tiny):
+    """One DP train step on the 8-device CPU mesh: loss finite, params move,
+    EMA tracks, and the result equals the single-device step."""
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    tcfg = TrainConfig(learning_rate=1e-3, use_ema=True)
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+
+    # train steps donate their input state; give each state its own buffers
+    state = replicate(mesh, init_train_state(jax.tree.map(jnp.copy, params), tcfg))
+    step_fn = make_train_step(model, sched, tcfg, mesh=mesh)
+    batch = jax.random.normal(jax.random.key(3), (16, 16, 16, 3))
+    key = jax.random.key(4)
+    state2, metrics = step_fn(state, shard_batch(mesh, batch), key)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # params actually updated
+    d = jax.tree.leaves(jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                                     state2.params, params))
+    assert max(d) > 0
+
+    # single-device reference
+    state_s = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    step_s = make_train_step(model, sched, tcfg)
+    state_s2, m_s = step_s(state_s, batch, key)
+    np.testing.assert_allclose(float(metrics["loss"]), float(m_s["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(state_s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5)
+
+
+def test_grad_accumulation_matches_big_batch(tiny):
+    """accum=2 over batch 8 == accum=1 over the same batch (same RNG use)."""
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    batch = jax.random.normal(jax.random.key(3), (8, 16, 16, 3))
+    key = jax.random.key(4)
+    s1 = init_train_state(jax.tree.map(jnp.copy, params), TrainConfig(use_ema=False))
+    f1 = make_train_step(model, sched, TrainConfig(use_ema=False))
+    s1b, m1 = f1(s1, batch, key)
+    s2 = init_train_state(jax.tree.map(jnp.copy, params),
+                          TrainConfig(use_ema=False, gradient_accumulation_steps=2))
+    f2 = make_train_step(model, sched, TrainConfig(use_ema=False, gradient_accumulation_steps=2))
+    s2b, m2 = f2(s2, batch, key)
+    # different dropout-rng plumbing would change losses only if dropout>0;
+    # here dropout=0 so the micro-batched grads average to the full-batch grad
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s1b.params), jax.tree.leaves(s2b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+def test_sampler_shapes_and_range(tiny):
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    sampler = make_sampler(model, params, sched,
+                           SamplerConfig(num_inference_steps=5, skip_type="quad",
+                                         style="ddim_exp"))
+    imgs = sampler(jax.random.key(0), 4, 16, 3)
+    assert imgs.shape == (4, 16, 16, 3)
+    a = np.asarray(imgs)
+    assert a.min() >= 0.0 and a.max() <= 1.0
+
+
+def test_sampler_deterministic(tiny):
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    sampler = make_sampler(model, params, sched, SamplerConfig(num_inference_steps=3))
+    a = np.asarray(sampler(jax.random.key(7), 2, 16, 3))
+    b = np.asarray(sampler(jax.random.key(7), 2, 16, 3))
+    np.testing.assert_array_equal(a, b)
