@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--vis_samples", type=int, default=64)
     p.add_argument("--kd", action="store_true", help="distill from the unpruned teacher")
     p.add_argument("--teacher_path", type=str, default=None)
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="optimizer steps fused into one device dispatch "
+                        "(amortizes host->device latency)")
     return p.parse_args(argv)
 
 
@@ -57,7 +60,8 @@ def main(argv=None):
     from ..sampling.ddim_sampler import SamplerConfig, make_sampler, save_image_grid
     from ..schedulers.ddpm import DiffusionSchedule
     from ..training.finetune import (TrainConfig, TrainState, init_train_state,
-                                     make_optimizer, make_train_step)
+                                     make_chunked_train_step, make_optimizer,
+                                     make_train_step)
     from ..utils.checkpoint import load_train_state, save_model, save_train_state
     from .ddpm_prune import load_unet
 
@@ -103,7 +107,10 @@ def main(argv=None):
         print(f"resumed from step {step}")
     state = replicate(mesh, state)
 
-    step_fn = make_train_step(model, schedule, tcfg_train, mesh=mesh, teacher=teacher)
+    chunk = max(1, min(args.steps_per_dispatch, args.save_model_steps,
+                       args.log_steps))
+    step_fn = make_chunked_train_step(model, schedule, tcfg_train, chunk=chunk,
+                                      mesh=mesh, teacher=teacher)
 
     ds = get_dataset(args.dataset, resolution=cfg.sample_size)
     print(f"Dataset size: {len(ds)}")
@@ -123,10 +130,12 @@ def main(argv=None):
 
     key = jax.random.key(args.seed)
     t_last, s_last = time.time(), start_step
-    for step in range(start_step, args.num_iters):
-        batch = shard_batch(mesh, jnp.asarray(next(batches)))
+    for step0 in range(start_step, args.num_iters, chunk):
+        stacked = np.stack([next(batches) for _ in range(chunk)])
+        batch = shard_batch(mesh, jnp.asarray(stacked), batch_dim=1)
         key, skey = jax.random.split(key)
         state, metrics = step_fn(state, batch, skey)
+        step = step0 + chunk - 1
         if (step + 1) % args.log_steps == 0:
             loss = float(metrics["loss"])
             now = time.time()

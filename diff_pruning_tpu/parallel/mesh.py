@@ -40,9 +40,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host array batch-sharded on the mesh."""
-    sh = data_sharding(mesh, axis)
+def shard_batch(mesh: Mesh, batch, axis: str = "data", *, batch_dim: int = 0):
+    """Place a host array batch-sharded on the mesh; batch_dim selects which
+    dim is sharded (1 for (K, B, ...) stacked multi-step chunks)."""
+    spec = P(*([None] * batch_dim + [axis]))
+    sh = NamedSharding(mesh, spec)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

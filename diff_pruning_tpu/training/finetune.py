@@ -103,14 +103,8 @@ def ddpm_loss(model, params, schedule: DiffusionSchedule, x0, noise, t,
     return kd_weight * kl + (1.0 - kd_weight) * nl
 
 
-def make_train_step(model, schedule: DiffusionSchedule, cfg: TrainConfig,
-                    mesh=None, teacher: Optional[Tuple[object, dict]] = None):
-    """Jitted (state, batch, key) -> (state, metrics); batch NHWC in [-1,1].
-
-    With ``mesh``, the returned step is jitted with batch sharded on the
-    'data' axis and state replicated — the DDP equivalent. ``teacher`` is an
-    optional (model, params) for KD finetuning (finetune.py --kd).
-    """
+def _build_step_fn(model, schedule: DiffusionSchedule, cfg: TrainConfig,
+                   teacher: Optional[Tuple[object, dict]] = None):
     opt = make_optimizer(cfg)
     accum = cfg.gradient_accumulation_steps
 
@@ -155,6 +149,18 @@ def make_train_step(model, schedule: DiffusionSchedule, cfg: TrainConfig,
             {"loss": loss, "grad_norm": gnorm},
         )
 
+    return step_fn
+
+
+def make_train_step(model, schedule: DiffusionSchedule, cfg: TrainConfig,
+                    mesh=None, teacher: Optional[Tuple[object, dict]] = None):
+    """Jitted (state, batch, key) -> (state, metrics); batch NHWC in [-1,1].
+
+    With ``mesh``, the returned step is jitted with batch sharded on the
+    'data' axis and state replicated — the DDP equivalent. ``teacher`` is an
+    optional (model, params) for KD finetuning (finetune.py --kd).
+    """
+    step_fn = _build_step_fn(model, schedule, cfg, teacher)
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -166,6 +172,36 @@ def make_train_step(model, schedule: DiffusionSchedule, cfg: TrainConfig,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_chunked_train_step(model, schedule: DiffusionSchedule, cfg: TrainConfig,
+                            *, chunk: int, mesh=None, teacher=None):
+    """K optimizer steps per dispatch: (state, batches[K,B,...], key) -> ...
+
+    The per-call host->device round trip dominates wall clock when the chip
+    sits behind a network tunnel (observed ~1-5 s/step vs ~100 ms of compute).
+    Scanning `chunk` full train steps inside one jitted program amortizes the
+    dispatch to 1/chunk. Semantically identical to calling the plain step K
+    times with jax.random.fold_in(key, i).
+    """
+    inner = _build_step_fn(model, schedule, cfg, teacher)
+
+    def chunk_fn(state: TrainState, batches: jnp.ndarray, key):
+        def body(state, inp):
+            i, batch = inp
+            s2, metrics = inner(state, batch, jax.random.fold_in(key, i))
+            return s2, metrics
+
+        state, metrics = jax.lax.scan(
+            body, state, (jnp.arange(batches.shape[0]), batches))
+        return state, jax.tree.map(lambda m: m[-1], metrics)
+
+    if mesh is None:
+        return jax.jit(chunk_fn, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(chunk_fn, in_shardings=(repl, data, repl),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
 
 
 jax.tree_util.register_pytree_node(

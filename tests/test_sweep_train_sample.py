@@ -154,3 +154,28 @@ def test_sampler_deterministic(tiny):
     a = np.asarray(sampler(jax.random.key(7), 2, 16, 3))
     b = np.asarray(sampler(jax.random.key(7), 2, 16, 3))
     np.testing.assert_array_equal(a, b)
+
+
+def test_chunked_step_equals_repeated_steps(tiny):
+    """K chunked steps == K sequential plain steps with fold_in keys."""
+    from diff_pruning_tpu.training.finetune import make_chunked_train_step
+
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    tcfg = TrainConfig(use_ema=True, learning_rate=1e-3)
+    batches = jax.random.normal(jax.random.key(5), (3, 4, 16, 16, 3))
+    key = jax.random.key(6)
+
+    s_a = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    f_chunk = make_chunked_train_step(model, sched, tcfg, chunk=3)
+    s_a, m_a = f_chunk(s_a, batches, key)
+
+    s_b = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    f_one = make_train_step(model, sched, tcfg)
+    for i in range(3):
+        s_b, m_b = f_one(s_b, batches[i], jax.random.fold_in(key, i))
+
+    assert int(s_a.step) == int(s_b.step) == 3
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-5)
