@@ -1,0 +1,146 @@
+"""LatentDiffusion: the CompVis LDM wrapper (class-conditional, CFG).
+
+TPU-native equivalent of the exercised slice of
+ldm_exp/ldm/models/diffusion/ddpm.py LatentDiffusion (the cin256-v2
+ImageNet model): sqrt-spaced linear betas (linear_start=0.0015,
+linear_end=0.0195 — make_beta_schedule 'linear' is linspace of sqrt betas),
+ClassEmbedder conditioning (ldm/modules/encoders/modules.py: Embedding
+(n_classes+1, embed_dim), uncond class = n_classes), ``get_loss_at_t``
+(ddpm.py:881-889: p_losses at caller-chosen t = per-sample mean-MSE in
+latent space, batch-averaged), and classifier-free-guidance DDIM sampling
+(ddim.py:164-203: eps = e_uc + scale (e_c - e_uc)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedulers.ddim import ddim_prev_timesteps, ddim_step
+from ..schedulers.ddpm import DiffusionSchedule
+from .unet_cond import UNetCond, UNetCondConfig
+
+
+def ldm_schedule(num_train_timesteps: int = 1000,
+                 linear_start: float = 0.0015,
+                 linear_end: float = 0.0195) -> DiffusionSchedule:
+    """CompVis make_beta_schedule('linear'): sqrt-spaced (util.py)."""
+    return DiffusionSchedule.create(
+        num_train_timesteps=num_train_timesteps,
+        beta_schedule="scaled_linear",
+        beta_start=linear_start, beta_end=linear_end)
+
+
+def compvis_ddim_timesteps(num_steps: int, num_train_timesteps: int = 1000) -> np.ndarray:
+    """make_ddim_timesteps('uniform'): arange(0, T, T//S) + 1, descending."""
+    c = num_train_timesteps // num_steps
+    seq = np.arange(0, num_train_timesteps, c) + 1
+    return seq[::-1].astype(np.int64).copy()
+
+
+@dataclasses.dataclass
+class ClassEmbedder:
+    """ldm/modules/encoders/modules.py ClassEmbedder: Embedding ->
+    (B, 1, embed_dim) context; class n_classes-1 (1000) is the CFG uncond."""
+
+    n_classes: int
+    embed_dim: int
+
+    def init(self, key):
+        return {"embedding": {"weight": jax.random.normal(
+            key, (self.n_classes, self.embed_dim)) * 0.02}}
+
+    def __call__(self, p, labels):
+        return p["embedding"]["weight"][labels][:, None, :]
+
+
+class LatentDiffusion:
+    """Bundles (unet, class embedder, first stage) + schedule; the pruning
+    target is unet only (model.model.diffusion_model in the reference)."""
+
+    def __init__(self, unet_cfg: UNetCondConfig, *, n_classes: int = 1001,
+                 first_stage=None, scale_factor: float = 1.0,
+                 num_train_timesteps: int = 1000,
+                 linear_start: float = 0.0015, linear_end: float = 0.0195):
+        self.unet = UNetCond(unet_cfg)
+        self.cond_stage = ClassEmbedder(n_classes, unet_cfg.context_dim)
+        self.n_classes = n_classes
+        self.uncond_class = n_classes - 1
+        self.first_stage = first_stage  # VQModel/AutoencoderKL or None
+        self.scale_factor = scale_factor
+        self.schedule = ldm_schedule(num_train_timesteps, linear_start, linear_end)
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        p = {"unet": self.unet.init(k1), "cond_stage": self.cond_stage.init(k2)}
+        if self.first_stage is not None:
+            p["first_stage"] = self.first_stage.init(jax.random.fold_in(key, 7))
+        return p
+
+    def get_learned_conditioning(self, params, labels):
+        return self.cond_stage(params["cond_stage"], labels)
+
+    def apply_unet(self, unet_params, x, t, context):
+        return self.unet(unet_params, x, t, context=context)
+
+    def get_loss_at_t(self, params, x0_latents, labels, t, noise):
+        """p_losses at fixed t (ddpm.py:881-889): mean MSE over everything."""
+        ctx = self.get_learned_conditioning(params, labels)
+        noisy = self.schedule.add_noise(x0_latents, noise, t)
+        eps = self.apply_unet(params["unet"], noisy, t, ctx)
+        return jnp.mean((eps - noise).astype(jnp.float32) ** 2)
+
+    def make_cfg_sampler(self, params, *, ddim_steps: int = 20,
+                         guidance_scale: float = 3.0, eta: float = 0.0,
+                         latent_hw: int = 64, latent_ch: int = 3):
+        """Jitted class-conditional CFG DDIM sampler over latents.
+
+        Batches cond+uncond through one UNet call (x_in = cat([x]*2),
+        ldm/models/diffusion/ddim.py:188-192).
+        """
+        ts = compvis_ddim_timesteps(ddim_steps, self.schedule.num_train_timesteps)
+        prev = ddim_prev_timesteps(ts)
+        ts_j, prev_j = jnp.asarray(ts, jnp.int32), jnp.asarray(prev, jnp.int32)
+        uc = self.uncond_class
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def sample_latents(key, labels, batch_size: int):
+            ctx_c = self.get_learned_conditioning(params, labels)
+            ctx_u = self.get_learned_conditioning(
+                params, jnp.full((batch_size,), uc, jnp.int32))
+            ctx = jnp.concatenate([ctx_u, ctx_c], axis=0)
+            key, ik = jax.random.split(key)
+            x = jax.random.normal(ik, (batch_size, latent_hw, latent_hw, latent_ch))
+
+            def step(carry, inp):
+                x, key = carry
+                t, tp = inp
+                tb = jnp.full((2 * batch_size,), t, jnp.int32)
+                x2 = jnp.concatenate([x, x], axis=0)
+                eps2 = self.apply_unet(params["unet"], x2, tb, ctx)
+                e_u, e_c = jnp.split(eps2, 2, axis=0)
+                eps = e_u + guidance_scale * (e_c - e_u)
+                noise = None
+                if eta > 0:
+                    key, nk = jax.random.split(key)
+                    noise = jax.random.normal(nk, x.shape)
+                x = ddim_step(self.schedule, x, eps, t, tp, eta=eta,
+                              clip_sample=False, noise=noise)
+                return (x, key), None
+
+            (x, _), _ = jax.lax.scan(step, (x, key), (ts_j, prev_j))
+            return x
+
+        return sample_latents
+
+    def decode_first_stage(self, params, latents):
+        if self.first_stage is None:
+            raise ValueError("no first stage attached")
+        z = latents / self.scale_factor
+        img = self.first_stage.decode(params["first_stage"], z)
+        return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)

@@ -277,3 +277,201 @@ def downsample_pad(x: jnp.ndarray) -> jnp.ndarray:
 def avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, c = x.shape
     return x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+
+
+@dataclasses.dataclass
+class LayerNorm:
+    """nn.LayerNorm over the last dim (BasicTransformerBlock norms,
+    ldm_exp/ldm/modules/attention.py:204-206)."""
+
+    scope: Scope
+    var: VarLike
+    eps: float = 1e-5
+
+    def __post_init__(self):
+        self.scope.ref("scale", 0, self.var, "norm")
+        self.scope.ref("bias", 0, self.var, "bias")
+
+    def init(self, key):
+        del key
+        return {"scale": jnp.ones((self.var.size,)), "bias": jnp.zeros((self.var.size,))}
+
+    def __call__(self, p, x):
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+@dataclasses.dataclass
+class CrossAttention:
+    """CompVis CrossAttention (ldm_exp/ldm/modules/attention.py:152-196):
+    bias-free q/k/v, heads via reshape, to_out Linear (bias=True).
+    Self-attention when context_var is None. `inner` carries the
+    head-grouping constraint (ldm_prune.py:79-83)."""
+
+    scope: Scope
+    query: VarLike
+    inner: ChannelVar
+    heads: int
+    context: Optional[VarLike] = None  # None -> self-attention
+
+    def __post_init__(self):
+        self.inner.require_group_div(self.heads)
+        s = self.scope
+        ctx = self.context if self.context is not None else self.query
+        self.to_q = Linear(s("to_q"), self.query, self.inner, use_bias=False)
+        self.to_k = Linear(s("to_k"), ctx, self.inner, use_bias=False)
+        self.to_v = Linear(s("to_v"), ctx, self.inner, use_bias=False)
+        self.to_out = Linear(s("to_out"), self.inner, _out_var_of(self.query))
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        return {"to_q": self.to_q.init(ks[0]), "to_k": self.to_k.init(ks[1]),
+                "to_v": self.to_v.init(ks[2]), "to_out": self.to_out.init(ks[3])}
+
+    def __call__(self, p, x, context=None):
+        ctx = x if context is None else context
+        b = x.shape[0]
+        q = self.to_q(p["to_q"], x)
+        k = self.to_k(p["to_k"], ctx)
+        v = self.to_v(p["to_v"], ctx)
+        h = self.heads
+        dim_head = self.inner.size // h
+        scale = dim_head**-0.5
+
+        def split(t):
+            return t.reshape(b, -1, h, dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                         preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.inner.size)
+        return self.to_out(p["to_out"], out)
+
+
+def _out_var_of(v: VarLike) -> ChannelVar:
+    if isinstance(v, CatVar):
+        raise ValueError("attention output cannot target a concat var")
+    return v
+
+
+@dataclasses.dataclass
+class FeedForward:
+    """GEGLU FeedForward (attention.py:37-64): proj (d -> 2*inner) where the
+    two halves (value, gate) are both indexed by the SAME ff-inner var —
+    registered as a two-part AxisRef so surgery slices both halves
+    consistently — then Linear(inner -> d)."""
+
+    scope: Scope
+    var: ChannelVar
+    inner: ChannelVar
+
+    def __post_init__(self):
+        s = self.scope
+        g = s.graph
+        f = self.inner.size
+        # proj kernel: (d, 2f), columns [0:f]=value, [f:2f]=gate, same var
+        from ..pruning.graph import AxisRef, _parts_of
+
+        g.ref(f"{s.path}/proj/kernel" if s.path else "proj/kernel", 0, self.var, "in")
+        g.refs.append(AxisRef(
+            f"{s.path}/proj/kernel" if s.path else "proj/kernel", 1,
+            ((self.inner, 0), (self.inner, f)), "out"))
+        g.refs.append(AxisRef(
+            f"{s.path}/proj/bias" if s.path else "proj/bias", 0,
+            ((self.inner, 0), (self.inner, f)), "bias"))
+        g._by_var = None
+        self.out = Linear(s("out"), self.inner, self.var)
+
+    def init(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        d, f = self.var.size, self.inner.size
+        bound = math.sqrt(1.0 / d)
+        return {
+            "proj": {
+                "kernel": _kaiming_uniform(k1, (d, 2 * f), d),
+                "bias": jax.random.uniform(k2, (2 * f,), jnp.float32, -bound, bound),
+            },
+            "out": self.out.init(k3),
+        }
+
+    def __call__(self, p, x):
+        h = x @ p["proj"]["kernel"].astype(x.dtype) + p["proj"]["bias"].astype(x.dtype)
+        val, gate = jnp.split(h, 2, axis=-1)
+        h = val * jax.nn.gelu(gate, approximate=False)
+        return self.out(p["out"], h)
+
+
+@dataclasses.dataclass
+class SpatialTransformer:
+    """CompVis SpatialTransformer (attention.py:218-258): GN -> 1x1 proj_in
+    -> depth x BasicTransformerBlock(self-attn, cross-attn, GEGLU ff, pre-LN)
+    -> 1x1 proj_out (+ residual). proj_out's out-axis ties back to the
+    spatial var through the residual add."""
+
+    scope: Scope
+    var: ChannelVar  # spatial channel var
+    inner: ChannelVar  # transformer width (n_heads * d_head)
+    heads: int
+    context: Optional[VarLike]  # None -> pure self-attention transformer
+    depth: int = 1
+    norm_num_groups: int = 32
+    attn_inner_vars: Optional[list] = None  # [(attn1_inner, attn2_inner, ff_inner)]
+
+    def __post_init__(self):
+        s = self.scope
+        self.norm = GroupNorm(s("norm"), self.var, self.norm_num_groups, 1e-6)
+        self.proj_in = Conv2D(s("proj_in"), self.var, self.inner, 1, 1, 0)
+        self.blocks = []
+        for d in range(self.depth):
+            bs = s(f"transformer_blocks/{d}")
+            a1_inner, a2_inner, ff_inner = self.attn_inner_vars[d]
+            norm1 = LayerNorm(bs("norm1"), self.inner)
+            attn1 = CrossAttention(bs("attn1"), self.inner, a1_inner, self.heads)
+            norm2 = LayerNorm(bs("norm2"), self.inner)
+            attn2 = CrossAttention(bs("attn2"), self.inner, a2_inner, self.heads,
+                                   context=self.context)
+            norm3 = LayerNorm(bs("norm3"), self.inner)
+            ff = FeedForward(bs("ff"), self.inner, ff_inner)
+            self.blocks.append((norm1, attn1, norm2, attn2, norm3, ff))
+        self.proj_out = Conv2D(s("proj_out"), self.inner, self.var, 1, 1, 0)
+
+    def init(self, key):
+        cnt = [0]
+
+        def nk():
+            cnt[0] += 1
+            return jax.random.fold_in(key, cnt[0])
+
+        p = {"norm": self.norm.init(nk()), "proj_in": self.proj_in.init(nk()),
+             "transformer_blocks": {}, "proj_out": self.proj_out.init(nk())}
+        # proj_out is zero-initialized (attention.py:240 zero_module)
+        p["proj_out"]["kernel"] = jnp.zeros_like(p["proj_out"]["kernel"])
+        p["proj_out"]["bias"] = jnp.zeros_like(p["proj_out"]["bias"])
+        for d, (n1, a1, n2, a2, n3, ff) in enumerate(self.blocks):
+            p["transformer_blocks"][str(d)] = {
+                "norm1": n1.init(nk()), "attn1": a1.init(nk()),
+                "norm2": n2.init(nk()), "attn2": a2.init(nk()),
+                "norm3": n3.init(nk()), "ff": ff.init(nk()),
+            }
+        return p
+
+    def __call__(self, p, x, context=None):
+        b, hh, ww, c = x.shape
+        x_in = x
+        h = self.norm(p["norm"], x)
+        h = self.proj_in(p["proj_in"], h)
+        h = h.reshape(b, hh * ww, self.inner.size)
+        for d, (n1, a1, n2, a2, n3, ff) in enumerate(self.blocks):
+            bp = p["transformer_blocks"][str(d)]
+            h = a1(bp["attn1"], n1(bp["norm1"], h)) + h
+            h = a2(bp["attn2"], n2(bp["norm2"], h), context=context) + h
+            h = ff(bp["ff"], n3(bp["norm3"], h)) + h
+        h = h.reshape(b, hh, ww, self.inner.size)
+        h = self.proj_out(p["proj_out"], h)
+        return h + x_in

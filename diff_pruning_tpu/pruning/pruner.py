@@ -69,9 +69,15 @@ def prune(
     ignored_vars: Sequence[str] = (),
     sparsity_per_var: Optional[Mapping[str, float]] = None,
     global_pruning: bool = False,
+    round_to: Optional[int] = None,
 ) -> PruneResult:
+    """`round_to` tightens every var's rounding (ldm_exp/prune_ldm.py:99
+    passes round_to=2 globally)."""
     ignored = set(ignored_vars)
     vars_ = [v for v in graph.prunable_vars() if v.name not in ignored]
+    if round_to is not None:
+        for v in vars_:
+            v.round_to = max(v.round_to, round_to)
     scores: Dict[str, np.ndarray] = {}
     for v in vars_:
         scores[v.name] = np.asarray(importance(graph, params, v, grads=grads), dtype=np.float64)

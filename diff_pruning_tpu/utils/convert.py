@@ -48,7 +48,7 @@ def torch_state_dict_to_params(sd: Mapping[str, "object"]) -> dict:
                 arr = arr.transpose(2, 3, 1, 0)
                 leaf = "kernel"
             elif arr.ndim == 2:
-                if stem and stem[-1] == "class_embedding":
+                if stem and stem[-1] in ("class_embedding", "embedding"):
                     leaf = "weight"  # nn.Embedding (num, dim): keep layout
                 else:
                     arr = arr.transpose(1, 0)  # linear (out,in) -> (in,out)
@@ -98,3 +98,51 @@ def load_diffusers_unet_checkpoint(model_dir: str) -> dict:
         sd = torch.load(bin_path, map_location="cpu", weights_only=True)
         return torch_state_dict_to_params(sd)
     raise FileNotFoundError(f"no UNet weights in {model_dir}")
+
+
+# -- CompVis LDM UNetModel (openaimodel) conversion ---------------------------
+
+_LDM_RENAMES = [
+    ("in_layers.0.", "in_norm."),
+    ("in_layers.2.", "in_conv."),
+    ("emb_layers.1.", "emb_proj."),
+    ("out_layers.0.", "out_norm."),
+    ("out_layers.3.", "out_conv."),
+    ("ff.net.0.proj.", "ff.proj."),
+    ("ff.net.2.", "ff.out."),
+    ("to_out.0.", "to_out."),
+]
+
+
+def ldm_unet_state_dict_to_params(sd: Mapping[str, "object"]) -> dict:
+    """CompVis openaimodel.UNetModel state_dict -> UNetCond params pytree.
+
+    Handles: input_blocks.0.0 (conv_in) -> input_blocks/0/conv; ResBlock
+    sequential indices -> named leaves (_LDM_RENAMES); SpatialTransformer
+    names pass through; conv OIHW->HWIO; linear transpose; norm weight->scale.
+    """
+    flat: Dict[str, np.ndarray] = {}
+    for name, tensor in sd.items():
+        arr = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
+        n = name
+        if n.startswith("input_blocks.0.0."):
+            n = n.replace("input_blocks.0.0.", "input_blocks.0.conv.")
+        for old, new in _LDM_RENAMES:
+            n = n.replace(old, new)
+        parts = n.split(".")
+        leaf = parts[-1]
+        stem = parts[:-1]
+        if leaf == "weight":
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)
+                leaf = "kernel"
+            elif arr.ndim == 2:
+                if stem and stem[-1] in ("label_emb", "embedding"):
+                    pass  # embeddings keep (num, dim)
+                else:
+                    arr = arr.transpose(1, 0)
+                    leaf = "kernel"
+            else:
+                leaf = "scale"
+        flat["/".join(stem + [leaf])] = arr
+    return unflatten_params(flat)
