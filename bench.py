@@ -39,8 +39,9 @@ def main():
     schedule = DiffusionSchedule.create()
     sampler = make_sampler(model, params, schedule,
                            SamplerConfig(num_inference_steps=100,
-                                         skip_type="quad", style="ddim_exp"))
-    batch = 512
+                                         skip_type="quad", style="ddim_exp",
+                                         dtype="bfloat16"))
+    batch = 128  # best measured batch on v5e (99 imgs/s vs 75 at bs512)
     # warmup / compile
     sampler(jax.random.key(0), batch, 32, 3).block_until_ready()
     t0 = time.perf_counter()

@@ -30,6 +30,10 @@ class SamplerConfig:
     clip_sample: bool = True  # DDIMScheduler default for DDPM checkpoints
     kind: str = "ddim"  # 'ddim' | 'ddpm'
     diffusers_stride: bool = False  # root-pipeline prev-step quirk (scheduling_ddim.py:312)
+    # Model compute dtype. bf16 runs the UNet's convs/matmuls as native-MXU
+    # bf16 (the TPU fast path); the DDIM update itself always runs in f32
+    # (ddim_step upcasts), so trajectory math stays accurate.
+    dtype: str = "float32"
 
 
 def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
@@ -43,6 +47,8 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
     prev_j = jnp.asarray(prev, jnp.int32)
     needs_noise = cfg.eta > 0.0 or cfg.kind == "ddpm"
 
+    compute_dtype = jnp.dtype(cfg.dtype)
+
     @functools.partial(jax.jit, static_argnums=(1, 2, 3))
     def sample(key, batch_size: int, hw: int, channels: int, labels=None):
         key, init_key = jax.random.split(key)
@@ -52,7 +58,8 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
             x, key = carry
             t, tp = inp
             tb = jnp.full((batch_size,), t, jnp.int32)
-            eps = model(params, x, tb, labels) if labels is not None else model(params, x, tb)
+            xm = x.astype(compute_dtype)
+            eps = model(params, xm, tb, labels) if labels is not None else model(params, xm, tb)
             if needs_noise:
                 key, nk = jax.random.split(key)
                 z = jax.random.normal(nk, x.shape)
