@@ -149,7 +149,15 @@ class GroupNorm:
         del key
         return {"scale": jnp.ones((self.var.size,)), "bias": jnp.zeros((self.var.size,))}
 
-    def __call__(self, p, x):
+    def __call__(self, p, x, *, with_silu: bool = False):
+        from .. import ops as _ops
+
+        if _ops.pallas_enabled() and jax.default_backend() == "tpu":
+            from ..ops.group_norm import fused_group_norm
+
+            return fused_group_norm(x, p["scale"], p["bias"],
+                                    groups=self.num_groups, eps=self.eps,
+                                    with_silu=with_silu)
         orig_dtype = x.dtype
         c = x.shape[-1]
         g = self.num_groups
@@ -162,6 +170,8 @@ class GroupNorm:
         xg = (xg - mean) * jax.lax.rsqrt(varr + self.eps)
         y = xg.reshape(x.shape)
         y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        if with_silu:
+            y = y * jax.nn.sigmoid(y)
         return y.astype(orig_dtype)
 
 

@@ -134,13 +134,11 @@ class ResnetBlock:
         return p
 
     def __call__(self, p, x, temb, *, dropout_rng=None):
-        h = self.norm1(p["norm1"], x)
-        h = silu(h)
+        h = self.norm1(p["norm1"], x, with_silu=True)
         h = self.conv1(p["conv1"], h)
         t = self.time_emb_proj(p["time_emb_proj"], silu(temb))
         h = h + t[:, None, None, :]
-        h = self.norm2(p["norm2"], h)
-        h = silu(h)
+        h = self.norm2(p["norm2"], h, with_silu=True)
         if dropout_rng is not None and self.cfg.dropout > 0.0:
             keep = 1.0 - self.cfg.dropout
             mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
@@ -432,8 +430,7 @@ class UNet2D:
                 h = upsample_nearest_2x(h)
                 h = us(bp["upsamplers"]["0"]["conv"], h)
 
-        h = self.conv_norm_out(params["conv_norm_out"], h)
-        h = silu(h)
+        h = self.conv_norm_out(params["conv_norm_out"], h, with_silu=True)
         h = self.conv_out(params["conv_out"], h)
         return h
 

@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: fused GroupNorm(+SiLU) with custom VJP.
+
+The UNet evaluates GN -> SiLU -> conv 30+ times per forward; the norm is
+memory-bound (two passes over the activation). This kernel computes the
+statistics and applies normalize+affine+SiLU in one VMEM-resident pass per
+sample, with a hand-written backward (also Pallas) so training uses it too.
+
+Layout strategy: tokens stay (N, C) with C on the 128-lane axis; group
+statistics are formed from per-channel partial sums (clean sublane
+reductions) and reduced across each group's C/g channels on a tiny (g, C/g)
+reshape — never reshaping the big activation, which would fight the tiling
+constraints.
+
+Falls back to the XLA path (models/layers.py GroupNorm) when a sample's
+(N, C) slab exceeds the VMEM budget; `fused_group_norm` picks automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-sample VMEM budget for the (N, C) slab (bytes); beyond this use XLA
+_VMEM_SLAB_LIMIT = 8 * 1024 * 1024
+
+
+def _group_avg_matrix(c: int, g: int, n: int) -> jnp.ndarray:
+    """(C, C) matrix M with M[i,j] = 1/(N*C/g) iff channels i,j share a group.
+
+    `v(1,C) @ M` turns per-channel sums into per-channel-broadcast group
+    means in a single tiny MXU matmul — Mosaic-friendly (no 1-D reshapes).
+    """
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0) // (c // g)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1) // (c // g)
+    cnt = n * (c // g)
+    return jnp.where(row == col, 1.0 / cnt, 0.0).astype(jnp.float32)
+
+
+def _stats(xf: jnp.ndarray, g: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, C) f32 -> per-channel-broadcast group mean/var ((1,C), (1,C))."""
+    n, c = xf.shape
+    m = _group_avg_matrix(c, g, n)
+    cs = jnp.sum(xf, axis=0, keepdims=True)  # (1, C)
+    cs2 = jnp.sum(xf * xf, axis=0, keepdims=True)
+    # stats need true-f32 dots (default MXU precision is bf16 passes)
+    mean_c = jnp.dot(cs, m, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    e2_c = jnp.dot(cs2, m, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    var_c = e2_c - mean_c * mean_c
+    return mean_c, var_c
+
+
+def _fwd_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int, eps: float,
+                with_silu: bool):
+    xf = x_ref[0].astype(jnp.float32)
+    mean_c, var_c = _stats(xf, groups)  # (1, C) each
+    inv = jax.lax.rsqrt(var_c + eps)
+    y = (xf - mean_c) * inv
+    y = y * scale_ref[:].astype(jnp.float32) + bias_ref[:].astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _bwd_kernel(x_ref, scale_ref, bias_ref, dy_ref, dx_ref, dscale_ref,
+                dbias_ref, *, groups: int, eps: float, with_silu: bool):
+    xf = x_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+    n, c = xf.shape
+    g = groups
+    scale = scale_ref[:].astype(jnp.float32)  # (1, C)
+    bias = bias_ref[:].astype(jnp.float32)
+    mean_c, var_c = _stats(xf, g)  # (1, C)
+    inv = jax.lax.rsqrt(var_c + eps)
+    xhat = (xf - mean_c) * inv
+    if with_silu:
+        z = xhat * scale + bias
+        sig = jax.nn.sigmoid(z)
+        dy = dy * (sig * (1.0 + z * (1.0 - sig)))  # d silu(z)/dz
+    # param grads (per channel, summed over N; caller sums over batch grid)
+    dscale_ref[0] = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbias_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+    # input grad: per group G: dx = inv*(dyg - mean(dyg) - xhat*mean(dyg*xhat))
+    dyg = dy * scale
+    m = _group_avg_matrix(c, g, n)
+
+    def gmean(v):  # (N, C) -> (1, C) per-channel-broadcast group mean
+        return jnp.dot(jnp.sum(v, axis=0, keepdims=True), m,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    dx = inv * (dyg - gmean(dyg) - xhat * gmean(dyg * xhat))
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _slab_fits(n: int, c: int, dtype) -> bool:
+    return n * c * (4 + jnp.dtype(dtype).itemsize) <= _VMEM_SLAB_LIMIT
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _pallas_gn(x, scale, bias, groups: int, eps: float, with_silu: bool,
+               interpret: bool):
+    b, n, c = x.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, groups=groups, eps=eps, with_silu=with_silu),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, scale.reshape(1, c), bias.reshape(1, c))
+
+
+def _pallas_gn_fwd(x, scale, bias, groups, eps, with_silu, interpret):
+    return _pallas_gn(x, scale, bias, groups, eps, with_silu, interpret), (x, scale, bias)
+
+
+def _pallas_gn_bwd(groups, eps, with_silu, interpret, res, dy):
+    x, scale, bias = res
+    b, n, c = x.shape
+    dx, dscale_b, dbias_b = pl.pallas_call(
+        functools.partial(_bwd_kernel, groups=groups, eps=eps, with_silu=with_silu),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(x, scale.reshape(1, c), bias.reshape(1, c), dy)
+    dscale = jnp.sum(dscale_b, axis=(0, 1)).astype(scale.dtype)
+    dbias = jnp.sum(dbias_b, axis=(0, 1)).astype(bias.dtype)
+    return dx, dscale, dbias
+
+
+_pallas_gn.defvjp(_pallas_gn_fwd, _pallas_gn_bwd)
+
+
+def fused_group_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, *,
+                     groups: int, eps: float = 1e-6, with_silu: bool = False,
+                     interpret: Optional[bool] = None) -> jnp.ndarray:
+    """GroupNorm(+SiLU) over the last axis of (..., C).
+
+    Uses the Pallas kernel when the per-sample slab fits VMEM (and a TPU/
+    interpreter backend is available); otherwise falls back to plain jnp
+    (identical math, XLA-fused).
+    """
+    orig_shape = x.shape
+    b, c = x.shape[0], x.shape[-1]
+    n = int(np_prod(x.shape[1:-1]))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xt = x.reshape(b, n, c)
+    if _slab_fits(n, c, x.dtype):
+        y = _pallas_gn(xt, scale, bias, groups, float(eps), with_silu, interpret)
+        return y.reshape(orig_shape)
+    # XLA fallback (same math as models/layers.GroupNorm)
+    xf = xt.astype(jnp.float32)
+    xg = xf.reshape(b, n, groups, c // groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    var = jnp.var(xg, axis=(1, 3), keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(b, n, c)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype).reshape(orig_shape)
+
+
+def np_prod(t):
+    out = 1
+    for v in t:
+        out *= int(v)
+    return out

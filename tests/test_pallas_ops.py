@@ -1,0 +1,85 @@
+"""Pallas kernel correctness (interpret mode on the CPU backend)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diff_pruning_tpu.ops.group_norm import fused_group_norm
+
+
+def _ref_gn(x, scale, bias, groups, eps=1e-6, silu=False):
+    b, n, c = x.shape
+    xf = x.astype(jnp.float32)
+    xg = xf.reshape(b, n, groups, c // groups)
+    m = jnp.mean(xg, axis=(1, 3), keepdims=True)
+    v = jnp.var(xg, axis=(1, 3), keepdims=True)
+    y = ((xg - m) * jax.lax.rsqrt(v + eps)).reshape(b, n, c) * scale + bias
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    return y
+
+
+@pytest.mark.parametrize("silu", [False, True])
+def test_fused_gn_forward(silu):
+    B, N, C, G = 2, 64, 128, 32
+    x = jax.random.normal(jax.random.key(0), (B, N, C))
+    scale = jax.random.normal(jax.random.key(1), (C,)) * 0.2 + 1.0
+    bias = jax.random.normal(jax.random.key(2), (C,)) * 0.1
+    y = fused_group_norm(x, scale, bias, groups=G, with_silu=silu, interpret=True)
+    ref = _ref_gn(x, scale, bias, G, silu=silu)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("silu", [False, True])
+def test_fused_gn_grads(silu):
+    B, N, C, G = 2, 64, 128, 32
+    x = jax.random.normal(jax.random.key(3), (B, N, C))
+    scale = jax.random.normal(jax.random.key(4), (C,)) * 0.2 + 1.0
+    bias = jax.random.normal(jax.random.key(5), (C,)) * 0.1
+    # weighted sum so dy isn't constant
+    w = jax.random.normal(jax.random.key(6), (B, N, C))
+
+    f1 = lambda x, s, b: (fused_group_norm(
+        x, s, b, groups=G, with_silu=silu, interpret=True) * w).sum()
+    f2 = lambda x, s, b: (_ref_gn(x, s, b, G, silu=silu) * w).sum()
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(x, scale, bias)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b, name in zip(g1, g2, ["dx", "dscale", "dbias"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_fused_gn_vmem_fallback():
+    """Oversized slabs fall back to the XLA path transparently."""
+    from diff_pruning_tpu.ops import group_norm as gmod
+
+    old = gmod._VMEM_SLAB_LIMIT
+    try:
+        gmod._VMEM_SLAB_LIMIT = 1024  # force fallback
+        B, N, C, G = 2, 64, 128, 32
+        x = jax.random.normal(jax.random.key(0), (B, N, C))
+        scale = jnp.ones((C,))
+        bias = jnp.zeros((C,))
+        y = fused_group_norm(x, scale, bias, groups=G, interpret=True)
+        ref = _ref_gn(x, scale, bias, G)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+    finally:
+        gmod._VMEM_SLAB_LIMIT = old
+
+
+def test_gn_layer_with_silu_flag():
+    """layers.GroupNorm(with_silu=True) == GN then silu."""
+    from diff_pruning_tpu.models.layers import GroupNorm, Scope
+    from diff_pruning_tpu.pruning.graph import ChannelGraph
+
+    g = ChannelGraph()
+    v = g.var("v", 32)
+    gn = GroupNorm(Scope(g)("gn"), v, 8)
+    p = gn.init(None)
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 32))
+    a = gn(p, x, with_silu=True)
+    b = gn(p, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b * jax.nn.sigmoid(b)),
+                               rtol=1e-6)
