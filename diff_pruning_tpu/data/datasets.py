@@ -145,20 +145,35 @@ def iterate_batches(
     loop: bool = True,
 ) -> Iterator[np.ndarray]:
     """Shuffled epochs of normalized NHWC float32 batches with random flip."""
+    from .. import native
+
     rng = np.random.default_rng(seed)
     n = len(dataset)
     in_memory = isinstance(dataset, ArrayDataset)
+    use_native_folder = (
+        isinstance(dataset, ImageFolderDataset) and not dataset.celeba_crop
+        and dataset.resolution is not None)
     while True:
         order = rng.permutation(n)
         end = n - (n % batch_size) if drop_last else n
         for i in range(0, end, batch_size):
             idx = order[i:i + batch_size]
+            flips = (rng.random(len(idx)) < 0.5) if flip else np.zeros(len(idx), bool)
             if in_memory:
+                # hot path: native OpenMP gather+flip+normalize
+                out = native.assemble_batch(dataset.images, idx, flips)
+                if out is not None:
+                    yield out
+                    continue
                 imgs = dataset.images[idx]
+            elif use_native_folder:
+                imgs = native.decode_batch([dataset.files[j] for j in idx],
+                                           dataset.resolution)
+                if imgs is None:
+                    imgs = np.stack([dataset.load(j) for j in idx])
             else:
                 imgs = np.stack([dataset.load(j) for j in idx])
             if flip:
-                flips = rng.random(len(imgs)) < 0.5
                 imgs = imgs.copy()
                 imgs[flips] = imgs[flips, :, ::-1]
             yield normalize(imgs)
