@@ -27,6 +27,12 @@ def parse_args(argv=None):
     p.add_argument("--use_ema", action="store_true",
                    help="load unet_ema subfolder if present")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mode", type=str, default="fid",
+                   choices=["fid", "sequence", "interpolation"],
+                   help="fid: bulk PNGs; sequence: trajectory grid "
+                        "(diffusion.py:429); interpolation: slerp grid (:452)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     return p.parse_args(argv)
 
 
@@ -56,6 +62,34 @@ def main(argv=None):
     print("#Params: {:.4f} M".format(n / 1e6))
     print("#MACS: {:.4f} G".format(macs / 1e9))
 
+    if args.mode != "fid":
+        from ..sampling.ddim_sampler import save_image_grid
+        from ..sampling.trajectories import sample_interpolation, sample_trajectory
+
+        os.makedirs(args.output_dir, exist_ok=True)
+        if args.mode == "sequence":
+            traj = sample_trajectory(
+                model, params, schedule, key=jax.random.key(args.seed),
+                batch_size=4, hw=hw, channels=cfg.in_channels,
+                num_inference_steps=args.ddim_steps, skip_type=args.skip_type,
+                style=args.style)
+            # rows = samples, cols = every 10th state
+            sel = traj[:: max(1, traj.shape[0] // 10)]
+            grid = sel.transpose(1, 0, 2, 3, 4).reshape(-1, hw, hw, cfg.in_channels)
+            save_image_grid(grid, os.path.join(args.output_dir, "sequence.png"),
+                            nrow=sel.shape[0])
+            print(f"wrote sequence.png ({sel.shape[0]} states x 4 samples)")
+        else:
+            imgs = sample_interpolation(
+                model, params, schedule, key=jax.random.key(args.seed), hw=hw,
+                channels=cfg.in_channels, n_alphas=11,
+                num_inference_steps=args.ddim_steps, skip_type=args.skip_type,
+                style=args.style)
+            save_image_grid(imgs, os.path.join(args.output_dir, "interpolation.png"),
+                            nrow=11)
+            print("wrote interpolation.png")
+        return
+
     mesh = make_mesh()
     sampler = make_sampler(model, params, schedule, SamplerConfig(
         num_inference_steps=args.ddim_steps,
@@ -63,6 +97,7 @@ def main(argv=None):
         style=args.style,
         eta=args.eta,
         clip_sample=not args.no_clip,
+        dtype=args.dtype,
     ))
     t0 = time.time()
     sample_many(sampler, key=jax.random.key(args.seed),

@@ -1,0 +1,59 @@
+"""CLI: class-conditional LDM sampling for FID — port of
+ldm_exp/sample_for_FID.py (DDIM + CFG over all classes, --ipc images per
+class) and sample_pruned.py (grid rendering)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--ipc", type=int, default=50, help="images per class")
+    p.add_argument("--num_classes", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=50)
+    p.add_argument("--ddim_steps", type=int, default=250)
+    p.add_argument("--scale", type=float, default=3.0)
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..sampling.ddim_sampler import save_images
+    from .ldm_prune import load_ldm
+
+    ldm, params = load_ldm(args.model_path, None, args.seed)
+    hw, ch = ldm.unet.cfg.image_size, ldm.unet.cfg.in_channels
+    sampler = ldm.make_cfg_sampler(params, ddim_steps=args.ddim_steps,
+                                   guidance_scale=args.scale, eta=args.eta,
+                                   latent_hw=hw, latent_ch=ch)
+    os.makedirs(args.output_dir, exist_ok=True)
+    key = jax.random.key(args.seed)
+    idx = 0
+    for cls in range(args.num_classes):
+        remaining = args.ipc
+        while remaining > 0:
+            n = min(args.batch_size, remaining)
+            key, k = jax.random.split(key)
+            labels = jnp.full((args.batch_size,), cls, jnp.int32)
+            lat = sampler(k, labels, args.batch_size)
+            if ldm.first_stage is not None:
+                imgs = np.asarray(ldm.decode_first_stage(params, lat))
+            else:
+                imgs = np.clip(np.asarray(lat) * 0.5 + 0.5, 0, 1)
+            save_images(imgs[:n], args.output_dir, start_index=idx)
+            idx += n
+            remaining -= n
+        if (cls + 1) % 25 == 0:
+            print(f"class {cls + 1}/{args.num_classes}: {idx} images")
+    print(f"wrote {idx} images to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -471,3 +471,65 @@ def tiny_unet_config(attn: bool = True) -> UNet2DConfig:
         freq_shift=1,
         flip_sin_to_cos=False,
     )
+
+
+def ddpm_celeba64_config() -> UNet2DConfig:
+    """CelebA-HQ 64x64 DDPM (ddpm_exp/configs/celeba.yml: ch=128,
+    ch_mult [1,2,2,2,4], attn@16). Reference: 78.7M params (BASELINE.md)."""
+    return UNet2DConfig(
+        sample_size=64,
+        block_out_channels=(128, 256, 256, 256, 512),
+        down_block_types=("DownBlock2D", "DownBlock2D", "AttnDownBlock2D",
+                          "DownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "UpBlock2D", "AttnUpBlock2D",
+                        "UpBlock2D", "UpBlock2D"),
+        layers_per_block=2,
+        downsample_padding=0,
+        attention_head_dim=None,
+        norm_num_groups=32,
+        norm_eps=1e-6,
+        freq_shift=1,
+        flip_sin_to_cos=False,
+        dropout=0.1,
+    )
+
+
+def ddpm_lsun256_config() -> UNet2DConfig:
+    """LSUN church/bedroom 256x256 DDPM (ddpm_exp/configs/church.yml:
+    ch=128, ch_mult [1,1,2,2,4,4], attn@16). Reference: 113.7M params."""
+    return UNet2DConfig(
+        sample_size=256,
+        block_out_channels=(128, 128, 256, 256, 512, 512),
+        down_block_types=("DownBlock2D", "DownBlock2D", "DownBlock2D",
+                          "DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D",
+                        "UpBlock2D", "UpBlock2D", "UpBlock2D"),
+        layers_per_block=2,
+        downsample_padding=0,
+        attention_head_dim=None,
+        norm_num_groups=32,
+        norm_eps=1e-6,
+        freq_shift=1,
+        flip_sin_to_cos=False,
+    )
+
+
+def ldm_celebahq256_config() -> UNet2DConfig:
+    """CompVis/ldm-celebahq-256 UNet (diffusers LDMPipeline layout,
+    ldm_prune.py:50-52): operates on 64x64 VQ latents."""
+    return UNet2DConfig(
+        sample_size=64,
+        in_channels=3,
+        out_channels=3,
+        block_out_channels=(224, 448, 672, 896),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D",
+                          "AttnDownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "AttnUpBlock2D",
+                        "AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=2,
+        attention_head_dim=32,
+        norm_num_groups=32,
+        norm_eps=1e-6,
+        freq_shift=0,
+        flip_sin_to_cos=True,
+    )

@@ -146,3 +146,75 @@ def ldm_unet_state_dict_to_params(sd: Mapping[str, "object"]) -> dict:
                 leaf = "scale"
         flat["/".join(stem + [leaf])] = arr
     return unflatten_params(flat)
+
+
+# -- ermongroup/DDIM original checkpoint conversion ---------------------------
+
+def ddim_original_state_dict_to_params(sd: Mapping[str, "object"],
+                                       num_levels: int) -> dict:
+    """ermongroup DDIM `Model` state_dict (heibox ema checkpoints, loaded by
+    ddpm_exp/runners/diffusion.py:150-174) -> UNet2D params pytree.
+
+    Name plan (cf. the reference converter
+    tools/convert_ddpm_original_checkpoint_to_diffusers_cifar10.py:19-233):
+      temb.dense.{0,1} -> time_embedding/linear_{1,2};
+      down.{i}.block.{j} -> down_blocks/{i}/resnets/{j} with
+        temb_proj->time_emb_proj, nin_shortcut->conv_shortcut;
+      down.{i}.attn.{j}: norm->group_norm, q/k/v 1x1 convs squeezed to
+        linears, proj_out->to_out;
+      mid.block_1/attn_1/block_2 -> mid_block resnets/attentions;
+      up.{i} -> up_blocks/{num_levels-1-i} (the DDIM codebase indexes up
+        levels by resolution, diffusers by application order);
+      norm_out -> conv_norm_out.
+    """
+    flat: Dict[str, np.ndarray] = {}
+    for name, tensor in sd.items():
+        arr = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
+        parts = name.split(".")
+        is_attn = len(parts) > 2 and parts[2] == "attn" or (parts[0] == "mid" and parts[1] == "attn_1")
+
+        n = name
+        n = n.replace("temb.dense.0.", "time_embedding.linear_1.")
+        n = n.replace("temb.dense.1.", "time_embedding.linear_2.")
+        n = n.replace("norm_out.", "conv_norm_out.")
+        n = n.replace("mid.block_1.", "mid_block.resnets.0.")
+        n = n.replace("mid.block_2.", "mid_block.resnets.1.")
+        n = n.replace("mid.attn_1.", "mid_block.attentions.0.")
+        if n.startswith("down."):
+            n = "down_blocks." + n[len("down."):]
+        if n.startswith("up."):
+            segs = n.split(".")
+            segs[0] = "up_blocks"
+            segs[1] = str(num_levels - 1 - int(segs[1]))
+            n = ".".join(segs)
+        n = n.replace(".block.", ".resnets.")
+        n = n.replace(".attn.", ".attentions.")
+        n = n.replace(".downsample.conv.", ".downsamplers.0.conv.")
+        n = n.replace(".upsample.conv.", ".upsamplers.0.conv.")
+        n = n.replace(".temb_proj.", ".time_emb_proj.")
+        n = n.replace(".nin_shortcut.", ".conv_shortcut.")
+        if is_attn:
+            n = n.replace(".norm.", ".group_norm.")
+            n = n.replace(".q.", ".to_q.")
+            n = n.replace(".k.", ".to_k.")
+            n = n.replace(".v.", ".to_v.")
+            n = n.replace(".proj_out.", ".to_out.")
+            if arr.ndim == 4:  # 1x1 conv (O, I, 1, 1) -> linear kernel (I, O)
+                arr = arr[:, :, 0, 0].transpose(1, 0)
+                flat["/".join(n.split(".")[:-1] + ["kernel"])] = arr
+                continue
+
+        parts = n.split(".")
+        leaf = parts[-1]
+        stem = parts[:-1]
+        if leaf == "weight":
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)
+                leaf = "kernel"
+            elif arr.ndim == 2:
+                arr = arr.transpose(1, 0)
+                leaf = "kernel"
+            else:
+                leaf = "scale"
+        flat["/".join(stem + [leaf])] = arr
+    return unflatten_params(flat)
