@@ -88,6 +88,7 @@ def main(argv=None):
         lr_warmup_steps=args.lr_warmup_steps,
         num_train_steps=args.num_iters,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        mixed_precision="bf16" if args.mixed_precision == "bf16" else "no",
     )
 
     mesh = make_mesh()

@@ -44,6 +44,10 @@ class TrainConfig:
     num_train_steps: int = 100_000
     lr_schedule: str = "constant"  # 'constant' | 'cosine'
     gradient_accumulation_steps: int = 1
+    # 'no' | 'bf16': compute the model fwd/bwd in bfloat16 (params, optimizer
+    # state, and the loss reduction stay f32 — the accelerate mixed_precision
+    # equivalent, ddpm_train.py:199-209, done the TPU way: bf16 on the MXU).
+    mixed_precision: str = "no"
 
 
 @dataclasses.dataclass
@@ -107,13 +111,22 @@ def _build_step_fn(model, schedule: DiffusionSchedule, cfg: TrainConfig,
                    teacher: Optional[Tuple[object, dict]] = None):
     opt = make_optimizer(cfg)
     accum = cfg.gradient_accumulation_steps
+    compute_dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else None
 
     def loss_fn(params, x0, noise, t, dropout_rng):
+        if compute_dtype is not None:
+            # cast the model inputs; layers follow x.dtype, ddpm_loss upcasts
+            # the error to f32 before reduction
+            params_c = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+            x0_c = x0.astype(compute_dtype)
+            noise_c = noise.astype(compute_dtype)
+        else:
+            params_c, x0_c, noise_c = params, x0, noise
         teacher_eps = None
         if teacher is not None:
             tm, tp = teacher
-            teacher_eps = tm(tp, schedule.add_noise(x0, noise, t), t)
-        return ddpm_loss(model, params, schedule, x0, noise, t,
+            teacher_eps = tm(tp, schedule.add_noise(x0_c, noise_c, t), t)
+        return ddpm_loss(model, params_c, schedule, x0_c, noise_c, t,
                          dropout_rng=dropout_rng, teacher_eps=teacher_eps)
 
     def step_fn(state: TrainState, batch: jnp.ndarray, key) -> Tuple[TrainState, dict]:

@@ -179,3 +179,21 @@ def test_chunked_step_equals_repeated_steps(tiny):
     np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4)
     for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3, atol=3e-5)
+
+
+def test_mixed_precision_bf16_close_to_f32(tiny):
+    """bf16 mixed precision trains with comparable first-step loss and keeps
+    params/opt-state in f32."""
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    batch = jax.random.normal(jax.random.key(3), (8, 16, 16, 3))
+    key = jax.random.key(4)
+    losses = {}
+    for mp in ("no", "bf16"):
+        tcfg = TrainConfig(use_ema=False, mixed_precision=mp)
+        s = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+        f = make_train_step(model, sched, tcfg)
+        s2, m = f(s, batch, key)
+        losses[mp] = float(m["loss"])
+        assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(s2.params))
+    assert abs(losses["bf16"] - losses["no"]) / losses["no"] < 0.05
