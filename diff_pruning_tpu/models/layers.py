@@ -152,7 +152,7 @@ class GroupNorm:
     def __call__(self, p, x, *, with_silu: bool = False):
         from .. import ops as _ops
 
-        if _ops.pallas_enabled() and jax.default_backend() == "tpu":
+        if _ops.pallas_enabled("group_norm") and jax.default_backend() == "tpu":
             from ..ops.group_norm import fused_group_norm
 
             return fused_group_norm(x, p["scale"], p["bias"],
@@ -232,10 +232,18 @@ class SelfAttention2D:
             return t.reshape(b, -1, self.heads, dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = split_heads(q), split_heads(k), split_heads(v)
-        # scores in f32 (upcast_softmax=True in the reference)
-        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores * scale, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+        from .. import ops as _ops
+
+        if _ops.pallas_enabled("attention") and jax.default_backend() == "tpu":
+            from ..ops.attention import flash_attention
+
+            out = flash_attention(q, k, v, scale)
+        else:
+            # scores in f32 (upcast_softmax=True in the reference)
+            scores = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(scores * scale, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", probs, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, inner)
         out = self.to_out(p["to_out"], out)
         out = out.reshape(b, h, w, c) + residual
@@ -356,10 +364,17 @@ class CrossAttention:
             return t.reshape(b, -1, h, dim_head).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                         preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        from .. import ops as _ops
+
+        if _ops.pallas_enabled("attention") and jax.default_backend() == "tpu":
+            from ..ops.attention import flash_attention
+
+            out = flash_attention(q, k, v, scale)
+        else:
+            sim = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                             preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.inner.size)
         return self.to_out(p["to_out"], out)
 

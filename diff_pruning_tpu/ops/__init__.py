@@ -1,17 +1,30 @@
 """TPU Pallas kernels and runtime toggles.
 
-`set_pallas_enabled(True)` routes GroupNorm (and GN+SiLU pairs) through the
-fused Pallas kernel (ops/group_norm.py); default off — XLA's own fusion is
-the baseline, and the kernel is only a win on memory-bound shapes.
+Per-op switches (all default off — XLA's fusion is the baseline and each
+kernel must beat it on the target shape to be enabled):
+
+* ``group_norm``: fused GroupNorm(+SiLU) (ops/group_norm.py). Slower than
+  XLA on 32x32 activations; targets memory-bound 256^2 paths.
+* ``attention``: flash attention (ops/attention.py). Measured 22% faster
+  than XLA at the LDM 4096-token shape and avoids the (N, N) score
+  materialization; only engages for >= min_tokens sequences.
 """
 
-_PALLAS_ENABLED = False
+_FLAGS = {"group_norm": False, "attention": False}
 
 
-def set_pallas_enabled(on: bool) -> None:
-    global _PALLAS_ENABLED
-    _PALLAS_ENABLED = bool(on)
+def set_pallas_enabled(on: bool = True, *, group_norm=None, attention=None) -> None:
+    """Backwards-compatible: positional `on` sets everything; keywords set
+    individual ops."""
+    if group_norm is None and attention is None:
+        _FLAGS["group_norm"] = bool(on)
+        _FLAGS["attention"] = bool(on)
+        return
+    if group_norm is not None:
+        _FLAGS["group_norm"] = bool(group_norm)
+    if attention is not None:
+        _FLAGS["attention"] = bool(attention)
 
 
-def pallas_enabled() -> bool:
-    return _PALLAS_ENABLED
+def pallas_enabled(op: str = "group_norm") -> bool:
+    return _FLAGS.get(op, False)

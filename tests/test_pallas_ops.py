@@ -83,3 +83,43 @@ def test_gn_layer_with_silu_flag():
     b = gn(p, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b * jax.nn.sigmoid(b)),
                                rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1024, 224), (1, 2, 512, 32),
+                                   (2, 1, 700, 64)])
+def test_flash_attention_matches_reference(shape):
+    from diff_pruning_tpu.ops.attention import flash_attention, reference_attention
+
+    b, h, n, d = shape
+    q = jax.random.normal(jax.random.key(0), shape, jnp.float32)
+    k = jax.random.normal(jax.random.key(1), shape, jnp.float32)
+    v = jax.random.normal(jax.random.key(2), shape, jnp.float32)
+    out = flash_attention(q, k, v, d**-0.5, interpret=True)
+    ref = reference_attention(q, k, v, d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_small_fallback():
+    """Below min_tokens it routes to plain XLA (no kernel)."""
+    from diff_pruning_tpu.ops.attention import flash_attention, reference_attention
+
+    q = jax.random.normal(jax.random.key(0), (1, 1, 64, 32))
+    out = flash_attention(q, q, q, 32**-0.5, min_tokens=512)
+    ref = reference_attention(q, q, q, 32**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_flash_attention_grads():
+    from diff_pruning_tpu.ops.attention import flash_attention, reference_attention
+
+    q = jax.random.normal(jax.random.key(3), (1, 1, 512, 32))
+    k = jax.random.normal(jax.random.key(4), (1, 1, 512, 32))
+    v = jax.random.normal(jax.random.key(5), (1, 1, 512, 32))
+    f1 = lambda q, k, v: flash_attention(q, k, v, 0.125, interpret=True).sum()
+    f2 = lambda q, k, v: reference_attention(q, k, v, 0.125).sum()
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=2e-5)
