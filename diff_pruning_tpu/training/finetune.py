@@ -48,6 +48,11 @@ class TrainConfig:
     # state, and the loss reduction stay f32 — the accelerate mixed_precision
     # equivalent, ddpm_train.py:199-209, done the TPU way: bf16 on the MXU).
     mixed_precision: str = "no"
+    # Rematerialize the model forward during backprop (jax.checkpoint with
+    # dots-saveable policy) — the reference's gradient_checkpointing flags
+    # (unet_2d_blocks.py:961-982), the TPU way: trade FLOPs for HBM so the
+    # 256x256 models fit larger batches.
+    remat: bool = False
 
 
 @dataclasses.dataclass
@@ -113,6 +118,14 @@ def _build_step_fn(model, schedule: DiffusionSchedule, cfg: TrainConfig,
     accum = cfg.gradient_accumulation_steps
     compute_dtype = jnp.bfloat16 if cfg.mixed_precision == "bf16" else None
 
+    def model_apply(p, x, t, rng):
+        return model(p, x, t, dropout_rng=rng)
+
+    if cfg.remat:
+        model_apply = jax.checkpoint(
+            model_apply,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+
     def loss_fn(params, x0, noise, t, dropout_rng):
         if compute_dtype is not None:
             # cast the model inputs; layers follow x.dtype, ddpm_loss upcasts
@@ -122,12 +135,15 @@ def _build_step_fn(model, schedule: DiffusionSchedule, cfg: TrainConfig,
             noise_c = noise.astype(compute_dtype)
         else:
             params_c, x0_c, noise_c = params, x0, noise
-        teacher_eps = None
-        if teacher is not None:
-            tm, tp = teacher
-            teacher_eps = tm(tp, schedule.add_noise(x0_c, noise_c, t), t)
-        return ddpm_loss(model, params_c, schedule, x0_c, noise_c, t,
-                         dropout_rng=dropout_rng, teacher_eps=teacher_eps)
+        noisy = schedule.add_noise(x0_c, noise_c, t)
+        out = model_apply(params_c, noisy, t, dropout_rng)
+        nl = ((out - noise_c).astype(jnp.float32) ** 2).sum(axis=(1, 2, 3)).mean()
+        if teacher is None:
+            return nl
+        tm, tp = teacher
+        teacher_eps = tm(tp, noisy, t)
+        kl = ((out - teacher_eps).astype(jnp.float32) ** 2).sum(axis=(1, 2, 3)).mean()
+        return 0.7 * kl + 0.3 * nl
 
     def step_fn(state: TrainState, batch: jnp.ndarray, key) -> Tuple[TrainState, dict]:
         nkey, tkey, dkey = jax.random.split(key, 3)

@@ -197,3 +197,22 @@ def test_mixed_precision_bf16_close_to_f32(tiny):
         losses[mp] = float(m["loss"])
         assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(s2.params))
     assert abs(losses["bf16"] - losses["no"]) / losses["no"] < 0.05
+
+
+def test_remat_matches_plain(tiny):
+    """Rematerialized training step == plain step numerically."""
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    batch = jax.random.normal(jax.random.key(3), (8, 16, 16, 3))
+    key = jax.random.key(4)
+    outs = {}
+    for remat in (False, True):
+        tcfg = TrainConfig(use_ema=False, remat=remat)
+        s = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+        f = make_train_step(model, sched, tcfg)
+        s2, m = f(s, batch, key)
+        outs[remat] = (float(m["loss"]), s2.params)
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(outs[False][1]), jax.tree.leaves(outs[True][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-6)
