@@ -1,0 +1,139 @@
+"""CLI: finetune a (pruned) class-conditional LDM UNet — the TPU equivalent
+of ldm_exp/main.py --load_pruned_model (the Lightning finetune of the pruned
+cin256 model, reference README: 4 epochs).
+
+The training step is the latent-space DDPM loss at random t with class
+conditioning (LatentDiffusion.p_losses semantics): images are encoded
+through the frozen first stage on the fly, noise added with the LDM's
+sqrt-spaced schedule, and the UNet (only) is optimized. Data: ImageNet-style
+class-labeled folder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", type=str, required=True,
+                   help="LDM checkpoint dir (unet/ + cond_stage/ [+ first_stage/])")
+    p.add_argument("--dataset", type=str, required=True,
+                   help="class-labeled image folder (root/<class>/*.jpg)")
+    p.add_argument("--output_dir", type=str, required=True)
+    p.add_argument("--train_batch_size", type=int, default=16)  # cin256-v2.yaml bs16
+    p.add_argument("--num_iters", type=int, default=20_000)
+    p.add_argument("--learning_rate", type=float, default=2e-6 * 16)  # base_lr*bs
+    p.add_argument("--mixed_precision", type=str, default="bf16", choices=["no", "bf16"])
+    p.add_argument("--save_model_steps", type=int, default=1000)
+    p.add_argument("--log_steps", type=int, default=100)
+    p.add_argument("--steps_per_dispatch", type=int, default=8)
+    p.add_argument("--uncond_prob", type=float, default=0.0,
+                   help="probability of dropping the class label to the "
+                        "uncond class during training (CFG training)")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from ..data.datasets import get_labeled_dataset, iterate_labeled_batches
+    from ..utils.checkpoint import save_model, save_params_npz
+    from .ldm_prune import load_ldm
+
+    ldm, params = load_ldm(args.model_path, None, args.seed)
+    if ldm.first_stage is None:
+        raise SystemExit("first_stage missing in checkpoint — LDM training "
+                         "needs the VQ/KL codec to encode images")
+    ucfg = ldm.unet.cfg
+    latent_hw = ucfg.image_size
+    img_res = latent_hw * 4  # VQ-f4 first stage (cin256-v2.yaml ddconfig)
+
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(args.learning_rate, weight_decay=0.0))
+    opt_state = opt.init(params["unet"])
+    compute_dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+
+    frozen = {k: v for k, v in params.items() if k != "unet"}
+    uncond = ldm.uncond_class
+
+    def loss_fn(unet_params, images, labels, key):
+        nkey, tkey, dkey = jax.random.split(key, 3)
+        z = ldm.first_stage.encode(frozen["first_stage"],
+                                   images.astype(compute_dtype))
+        z = z * ldm.scale_factor
+        if args.uncond_prob > 0:
+            drop = jax.random.bernoulli(dkey, args.uncond_prob, labels.shape)
+            labels = jnp.where(drop, uncond, labels)
+        ctx = ldm.cond_stage(frozen["cond_stage"], labels).astype(compute_dtype)
+        t = jax.random.randint(tkey, (z.shape[0],), 0,
+                               ldm.schedule.num_train_timesteps)
+        noise = jax.random.normal(nkey, z.shape, z.dtype)
+        noisy = ldm.schedule.add_noise(z, noise, t)
+        up = jax.tree.map(lambda a: a.astype(compute_dtype), unet_params)
+        eps = ldm.unet(up, noisy, t, context=ctx)
+        return jnp.mean((eps - noise).astype(jnp.float32) ** 2)
+
+    chunk = max(1, min(args.steps_per_dispatch, args.log_steps))
+
+    @jax.jit
+    def chunk_step(unet_params, opt_state, images, labels, key):
+        def body(carry, inp):
+            up, os_ = carry
+            i, img, lab = inp
+            loss, g = jax.value_and_grad(loss_fn)(up, img, lab,
+                                                  jax.random.fold_in(key, i))
+            updates, os_ = opt.update(g, os_, up)
+            up = optax.apply_updates(up, updates)
+            return (up, os_), loss
+
+        (unet_params, opt_state), losses = jax.lax.scan(
+            body, (unet_params, opt_state),
+            (jnp.arange(images.shape[0]), images, labels))
+        return unet_params, opt_state, losses[-1]
+
+    ds = get_labeled_dataset(args.dataset, resolution=img_res)
+    print(f"dataset: {len(ds)} images, {len(ds.class_names)} classes")
+    batches = iterate_labeled_batches(ds, args.train_batch_size, seed=args.seed)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+    unet_params = params["unet"]
+    key = jax.random.key(args.seed)
+    t0, n0 = time.time(), 0
+    for step0 in range(0, args.num_iters, chunk):
+        imgs, labs = zip(*[next(batches) for _ in range(chunk)])
+        imgs = jnp.asarray(np.stack(imgs))
+        labs = jnp.asarray(np.stack(labs))
+        key, sk = jax.random.split(key)
+        unet_params, opt_state, loss = chunk_step(unet_params, opt_state,
+                                                  imgs, labs, sk)
+        step = step0 + chunk
+        if step % args.log_steps == 0:
+            rec = {"step": step, "loss": float(loss),
+                   "imgs_per_sec": round((step - n0) * args.train_batch_size
+                                         / (time.time() - t0), 1)}
+            t0, n0 = time.time(), step
+            print(rec)
+            log.write(json.dumps(rec) + "\n")
+            log.flush()
+        if step % args.save_model_steps == 0 or step >= args.num_iters:
+            save_model(args.output_dir, ucfg, unet_params, subfolder="unet")
+            cs_dir = os.path.join(args.output_dir, "cond_stage")
+            os.makedirs(cs_dir, exist_ok=True)
+            save_params_npz(os.path.join(cs_dir, "params.npz"),
+                            frozen["cond_stage"])
+            print(f"saved at step {step}")
+    log.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -179,3 +179,55 @@ def iterate_batches(
             yield normalize(imgs)
         if not loop:
             return
+
+
+@dataclasses.dataclass
+class LabeledImageFolderDataset:
+    """Class-labeled image folder (ImageNet layout: root/<class>/*.jpg) for
+    the LDM finetune path (ldm_exp/ldm/data/imagenet.py equivalent)."""
+
+    files: list
+    labels: np.ndarray
+    class_names: list
+    resolution: int = 256
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+
+def get_labeled_dataset(root: str, resolution: int = 256) -> LabeledImageFolderDataset:
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)))
+    if not classes:
+        raise FileNotFoundError(f"no class subdirectories under {root}")
+    files, labels = [], []
+    for ci, cname in enumerate(classes):
+        for f in list_image_files(os.path.join(root, cname)):
+            files.append(f)
+            labels.append(ci)
+    return LabeledImageFolderDataset(files, np.asarray(labels, np.int32),
+                                     classes, resolution)
+
+
+def iterate_labeled_batches(dataset: LabeledImageFolderDataset, batch_size: int,
+                            *, seed: int = 0, flip: bool = True):
+    """(images in [-1,1], labels) batches, shuffled epochs, native decode."""
+    from .. import native
+
+    rng = np.random.default_rng(seed)
+    n = len(dataset)
+    while True:
+        order = rng.permutation(n)
+        for i in range(0, n - (n % batch_size), batch_size):
+            idx = order[i:i + batch_size]
+            imgs = native.decode_batch([dataset.files[j] for j in idx],
+                                       dataset.resolution)
+            if imgs is None:
+                imgs = np.stack([_load_image(dataset.files[j],
+                                             dataset.resolution, False)
+                                 for j in idx])
+            if flip:
+                flips = rng.random(len(imgs)) < 0.5
+                imgs = imgs.copy()
+                imgs[flips] = imgs[flips, :, ::-1]
+            yield normalize(imgs), dataset.labels[idx]

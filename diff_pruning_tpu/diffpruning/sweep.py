@@ -73,9 +73,14 @@ def accumulate_taylor_grads(
     thr: Optional[float] = 0.05,
     max_steps: Optional[int] = None,
     loss_type: str = "mse",
+    accumulate_abs: bool = False,
     verbose: bool = False,
 ) -> SweepResult:
-    """Host-driven variant: jit the per-step grad, loop + break on host."""
+    """Host-driven variant: jit the per-step grad, loop + break on host.
+
+    ``accumulate_abs`` accumulates |grad| per timestep instead of the signed
+    sum — the vendored AbsTaylorImportance's accumulation mode
+    (ddpm_exp/torch_pruning/pruner/importance.py:553-670)."""
     T = schedule.num_train_timesteps if max_steps is None else max_steps
     loss_fn = make_loss_fn(model, schedule, loss_type)
 
@@ -83,6 +88,8 @@ def accumulate_taylor_grads(
     def step(params, grads, k):
         t = jnp.full((x0.shape[0],), k, dtype=jnp.int32)
         loss, g = jax.value_and_grad(loss_fn)(params, x0, noise, t)
+        if accumulate_abs:
+            g = jax.tree.map(jnp.abs, g)
         return loss, jax.tree.map(jnp.add, grads, g)
 
     grads = jax.tree.map(jnp.zeros_like, params)

@@ -219,3 +219,29 @@ def test_inception_architecture_parity():
         got = inception_pool3(params, jnp.asarray(x.transpose(0, 2, 3, 1)),
                               resize=False, normalize=False)
     np.testing.assert_allclose(np.asarray(got), ref_feat, rtol=2e-3, atol=2e-3)
+
+
+def test_fid_pipeline_end_to_end(tmp_path):
+    """Full FID path over two image dirs with synthesized inception weights:
+    identical dirs -> ~0; shifted dirs -> clearly positive."""
+    from PIL import Image
+
+    from diff_pruning_tpu.eval.fid import fid_between_paths
+
+    rng = np.random.default_rng(0)
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d3 = tmp_path / "c"
+    for d in (d1, d2, d3):
+        d.mkdir()
+    for i in range(48):
+        im = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(im).save(d1 / f"{i}.png")
+        Image.fromarray(im).save(d2 / f"{i}.png")
+        Image.fromarray(np.clip(im.astype(np.int32) + 64, 0, 255)
+                        .astype(np.uint8)).save(d3 / f"{i}.png")
+    params = _synth_inception_params(np.random.default_rng(1))
+    same = fid_between_paths(str(d1), str(d2), params, batch_size=16)
+    diff = fid_between_paths(str(d1), str(d3), params, batch_size=16)
+    assert abs(same) < 1e-3
+    assert diff > same + 1.0

@@ -216,3 +216,38 @@ def test_remat_matches_plain(tiny):
     for a, b in zip(jax.tree.leaves(outs[False][1]), jax.tree.leaves(outs[True][1])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=1e-6)
+
+
+def test_kd_teacher_loss(tiny):
+    """--kd distillation: loss mixes teacher-match and noise terms
+    (functions/losses.py:17-31 semantics, 0.7/0.3)."""
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    teacher_params = jax.tree.map(lambda x: x + 0.01, params)
+    tcfg = TrainConfig(use_ema=False)
+    s = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    f = make_train_step(model, sched, tcfg, teacher=(model, teacher_params))
+    batch = jax.random.normal(jax.random.key(3), (4, 16, 16, 3))
+    s2, m = f(s, batch, jax.random.key(4))
+    assert np.isfinite(float(m["loss"]))
+    # identical teacher ==> kd term vanishes: loss = 0.3 * plain loss
+    s3 = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    f_same = make_train_step(model, sched, tcfg, teacher=(model, params))
+    _, m_same = f_same(s3, batch, jax.random.key(4))
+    s4 = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    f_plain = make_train_step(model, sched, tcfg)
+    _, m_plain = f_plain(s4, batch, jax.random.key(4))
+    np.testing.assert_allclose(float(m_same["loss"]),
+                               0.3 * float(m_plain["loss"]), rtol=1e-3)
+
+
+def test_sweep_accumulate_abs(tiny):
+    from diff_pruning_tpu.diffpruning.sweep import accumulate_taylor_grads
+
+    _, model, params = tiny
+    sched = DiffusionSchedule.create(num_train_timesteps=4)
+    x0 = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+    r = accumulate_taylor_grads(model, params, sched, x0, noise, thr=None,
+                                accumulate_abs=True)
+    assert all(float(g.min()) >= 0 for g in jax.tree.leaves(r.grads))
