@@ -251,3 +251,25 @@ def test_sweep_accumulate_abs(tiny):
     r = accumulate_taylor_grads(model, params, sched, x0, noise, thr=None,
                                 accumulate_abs=True)
     assert all(float(g.min()) >= 0 for g in jax.tree.leaves(r.grads))
+
+
+def test_tensor_parallel_forward_matches(tiny):
+    """TP-sharded forward (2x4 data x model mesh) == replicated forward."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from diff_pruning_tpu.parallel.tp import tp_param_shardings
+
+    cfg, model, params = tiny
+    mesh = make_mesh((("data", 2), ("model", 4)))
+    sh = tp_param_shardings(model.graph, params, mesh)
+    n_sharded = sum(1 for s in jax.tree.leaves(sh) if s.spec != P())
+    assert n_sharded > 20
+    params_tp = jax.tree.map(jax.device_put, params, sh)
+    x = jax.random.normal(jax.random.key(1), (8, 16, 16, 3))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    y_tp = jax.jit(lambda p, x, t: model(p, x, t))(
+        params_tp, xs, jnp.zeros((8,), jnp.int32))
+    y = jax.jit(lambda p, x, t: model(p, x, t))(
+        params, x, jnp.zeros((8,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y), atol=2e-5,
+                               rtol=2e-5)
