@@ -152,6 +152,27 @@ class ChannelGraph:
     def prunable_vars(self) -> List[ChannelVar]:
         return [v for v in self.vars.values() if v.prunable]
 
+    def summary(self) -> str:
+        """Human-readable group listing (torch_pruning's get_all_groups /
+        print(group) analog): one line per var with size, constraints, and
+        the params whose axes it indexes."""
+        lines = []
+        for v in self.vars.values():
+            tags = []
+            if not v.prunable:
+                tags.append("fixed")
+            if v.group_div > 1:
+                tags.append(f"group_div={v.group_div}")
+            if v.round_to > 1:
+                tags.append(f"round_to={v.round_to}")
+            refs = self.refs_of(v)
+            lines.append(f"{v.name} [{v.size}]{' (' + ', '.join(tags) + ')' if tags else ''}"
+                         f" <- {len(refs)} param axes")
+            for ref, off in refs:
+                lines.append(f"    {ref.role:4s} {ref.param} axis={ref.axis}"
+                             + (f" offset={off}" if off else ""))
+        return "\n".join(lines)
+
     def validate(self, params) -> None:
         """Check every ref is consistent with actual param shapes."""
         from .surgery import get_path  # local import to avoid cycle
