@@ -95,6 +95,33 @@ def diff_pruning_importance(graph, params, var, *, grads) -> np.ndarray:
     return taylor_importance(graph, params, var, grads=grads, multivariable=False)
 
 
+def lamp_importance(graph, params, var, *, grads=None) -> np.ndarray:
+    """LAMP (importance.py:154-219): squared magnitude divided by the
+    cumulative sum of larger-or-equal squared magnitudes (per group)."""
+    del grads
+    m = _group_scores(
+        graph, params, var,
+        lambda w, g: (w.astype(np.float64) ** 2).sum(axis=1))
+    order = np.argsort(-m, kind="stable")
+    sorted_m = m[order]
+    denom = np.cumsum(sorted_m)
+    scores_sorted = sorted_m / np.maximum(denom, 1e-12)
+    out = np.empty_like(m)
+    out[order] = scores_sorted
+    return out
+
+
+def group_norm_importance(graph, params, var, *, grads=None) -> np.ndarray:
+    """GroupNormImportance (importance.py:227-330): full-group L2 norm."""
+    del grads
+    sq = _group_scores(
+        graph, params, var,
+        lambda w, g: (w.astype(np.float64) ** 2).sum(axis=1))
+    # _group_scores means across refs; the group L2 is the sqrt of the sum —
+    # a monotonic transform of the mean, identical ranking
+    return np.sqrt(sq)
+
+
 def fisher_importance(graph, params, var, *, grads) -> np.ndarray:
     """FisherImportance: sum_j g_j^2 (vendored importance.py:672-782)."""
     return _group_scores(
@@ -134,6 +161,12 @@ def make_importance(name: str, *, seed: int = 0, multivariable: Optional[bool] =
     if name == "fisher":
         return lambda graph, params, var, grads=None: fisher_importance(
             graph, params, var, grads=grads)
+    if name == "lamp":
+        return lambda graph, params, var, grads=None: lamp_importance(
+            graph, params, var)
+    if name == "group_norm":
+        return lambda graph, params, var, grads=None: group_norm_importance(
+            graph, params, var)
     if name in ("first_order_taylor", "full_taylor"):
         return lambda graph, params, var, grads=None: full_taylor_importance(
             graph, params, var, grads=grads, second_order=False)

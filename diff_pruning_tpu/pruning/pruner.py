@@ -87,10 +87,16 @@ def prune(
         # Reduce each var's score to per-"channel-group" scalars, pool, and
         # threshold globally (metapruner.py:256-297): with group_div>1 only
         # the first sub-block participates in the pool and the chosen drops
-        # replicate across sub-blocks.
+        # replicate across sub-blocks. Scores are mean-normalized per var
+        # before pooling (the reference importance's normalizer step) —
+        # without it, cross-layer scale differences concentrate all drops in
+        # a few low-magnitude layers.
+        norm_scores = {
+            v.name: scores[v.name] / max(scores[v.name].mean(), 1e-30)
+            for v in vars_}
         pooled = []
         for v in vars_:
-            imp = scores[v.name]
+            imp = norm_scores[v.name]
             sub = imp[: v.size // v.group_div] if v.group_div > 1 else imp
             pooled.append(sub)
         flat = np.concatenate(pooled)
@@ -100,7 +106,7 @@ def prune(
             return PruneResult({}, scores, pruned_channel_sizes(graph, {}))
         thres = np.partition(flat, n_pruned - 1)[n_pruned - 1]
         for v in vars_:
-            imp = scores[v.name]
+            imp = norm_scores[v.name]
             gs = v.size // v.group_div
             sub = imp[:gs] if v.group_div > 1 else imp
             drop_local = np.nonzero(sub <= thres)[0]

@@ -43,6 +43,7 @@ class TrainConfig:
     lr_warmup_steps: int = 0
     num_train_steps: int = 100_000
     lr_schedule: str = "constant"  # 'constant' | 'cosine'
+    optimizer: str = "adam"  # 'adam' | 'rmsprop' | 'sgd' (ddpm_exp functions/__init__.py:4-15)
     gradient_accumulation_steps: int = 1
     # 'no' | 'bf16': compute the model fwd/bwd in bfloat16 (params, optimizer
     # state, and the loss reduction stay f32 — the accelerate mixed_precision
@@ -74,7 +75,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(cfg.lr_schedule)
     tx = [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip else []
-    if cfg.weight_decay:
+    if cfg.optimizer == "rmsprop":
+        tx.append(optax.rmsprop(lr))
+    elif cfg.optimizer == "sgd":
+        tx.append(optax.sgd(lr))
+    elif cfg.weight_decay:
         tx.append(optax.adamw(lr, b1=cfg.adam_beta1, b2=cfg.adam_beta2,
                               eps=cfg.adam_eps, weight_decay=cfg.weight_decay))
     else:

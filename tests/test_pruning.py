@@ -156,3 +156,38 @@ def test_pruned_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(UNet2D(new_cfg)(new_params, x, t)),
         np.asarray(m2(params2, x, t)), rtol=1e-6, atol=1e-6)
+
+
+def test_global_pruning_mode():
+    """Global mode: pooled threshold produces uneven per-var sparsity but
+    hits the overall target within rounding; model rebuilds and runs."""
+    cfg = tiny_unet_config()
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    res = prune(model.graph, params, make_importance("magnitude"),
+                sparsity=0.3, global_pruning=True)
+    new_params = apply_pruning(params, model.graph, res)
+    m2 = UNet2D(cfg.with_channel_sizes(res.channel_sizes))
+    m2.graph.validate(new_params)
+    y = m2(new_params, jnp.zeros((1, 16, 16, 3)), jnp.array([3]))
+    assert y.shape == (1, 16, 16, 3)
+    # overall channel reduction near the target
+    total_before = sum(v.size for v in model.graph.prunable_vars())
+    total_after = sum(res.channel_sizes.values())
+    assert 0.55 < total_after / total_before < 0.85
+    # at least one var pruned more than another (global redistribution)
+    ratios = {k: res.channel_sizes[k] / model.graph.vars[k].size
+              for k in res.channel_sizes}
+    assert max(ratios.values()) - min(ratios.values()) > 0.01
+
+
+def test_lamp_and_group_norm_importance():
+    cfg = tiny_unet_config(attn=False)
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    for name in ("lamp", "group_norm"):
+        imp = make_importance(name)
+        res = prune(model.graph, params, imp, sparsity=0.3)
+        p2 = apply_pruning(params, model.graph, res)
+        m2 = UNet2D(cfg.with_channel_sizes(res.channel_sizes))
+        m2.graph.validate(p2)

@@ -273,3 +273,18 @@ def test_tensor_parallel_forward_matches(tiny):
         params, x, jnp.zeros((8,), jnp.int32))
     np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y), atol=2e-5,
                                rtol=2e-5)
+
+
+@pytest.mark.parametrize("opt", ["rmsprop", "sgd"])
+def test_alternative_optimizers(tiny, opt):
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    tcfg = TrainConfig(use_ema=False, optimizer=opt, learning_rate=1e-4)
+    s = init_train_state(jax.tree.map(jnp.copy, params), tcfg)
+    f = make_train_step(model, sched, tcfg)
+    batch = jax.random.normal(jax.random.key(3), (4, 16, 16, 3))
+    s2, m = f(s, batch, jax.random.key(4))
+    assert np.isfinite(float(m["loss"]))
+    moved = max(float(jnp.abs(a - b).max()) for a, b in
+                zip(jax.tree.leaves(s2.params), jax.tree.leaves(params)))
+    assert moved > 0
