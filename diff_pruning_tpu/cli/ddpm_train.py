@@ -138,10 +138,11 @@ def main(argv=None):
         state, metrics = step_fn(state, batch, skey)
         step = step0 + chunk - 1
         if (step + 1) % args.log_steps == 0:
-            loss = float(metrics["loss"])
+            loss = float(metrics["loss"])  # forces completion of the chunk
             now = time.time()
             ips = (step + 1 - s_last) * args.train_batch_size / (now - t_last)
             t_last, s_last = now, step + 1
+            # note: the first logged interval includes compile time
             rec = {"step": step + 1, "loss": loss, "imgs_per_sec": round(ips, 1)}
             print(rec)
             metrics_log.write(json.dumps(rec) + "\n")

@@ -106,9 +106,17 @@ class ImageFolderDataset:
 
 
 def get_dataset(name_or_path: str, resolution: Optional[int] = None):
-    """utils.py:31-58 equivalent: 'cifar10' | npz | image dir."""
+    """utils.py:31-58 equivalent: 'cifar10' | npz | image dir |
+    'celeba:<dir>' (applies the DDIM-codebase CelebA center-crop recipe,
+    ddpm_exp/datasets/__init__.py:61-107)."""
     if name_or_path is None:
         raise ValueError("dataset required")
+    if name_or_path.startswith("celeba:"):
+        files = list_image_files(name_or_path[len("celeba:"):])
+        if not files:
+            raise FileNotFoundError(name_or_path)
+        return ImageFolderDataset(files, resolution=resolution or 64,
+                                  celeba_crop=True)
     if name_or_path.endswith(".npz"):
         return load_npz(name_or_path)
     if os.path.isdir(name_or_path):

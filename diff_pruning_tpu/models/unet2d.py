@@ -33,7 +33,6 @@ from .layers import (
     Linear,
     Scope,
     SelfAttention2D,
-    avg_pool_2x,
     downsample_pad,
     get_timestep_embedding,
     silu,

@@ -58,3 +58,17 @@ def process_fold_key(key: jax.Array, process_index: Optional[int] = None) -> jax
     if process_index is None:
         process_index = jax.process_index()
     return jax.random.fold_in(key, process_index)
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization — the torchrun/accelerate-launch equivalent
+    (scripts/sample_ddpm_cifar10_pretrained_distributed.sh:1). On TPU pods
+    every arg is auto-detected from the environment; call before any jax
+    device use, then make_mesh() spans all hosts' chips over DCN+ICI."""
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)

@@ -13,23 +13,11 @@ nothing on the compute path imports it.
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Mapping
 
 import numpy as np
 
 from ..pruning.surgery import flatten_params, unflatten_params
-
-_NORM_PAT = re.compile(r"(norm1|norm2|group_norm|conv_norm_out)$")
-
-
-def _is_conv_kernel(path_parts, arr) -> bool:
-    return arr.ndim == 4
-
-
-def _is_linear_kernel(arr) -> bool:
-    return arr.ndim == 2
-
 
 def torch_state_dict_to_params(sd: Mapping[str, "object"]) -> dict:
     """Convert a diffusers UNet2DModel state_dict to a params pytree."""

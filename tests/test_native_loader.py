@@ -67,3 +67,21 @@ def test_iterate_matches_with_and_without_native(monkeypatch):
     monkeypatch.setattr(native, "assemble_batch", lambda *args: None)
     b = next(iterate_batches(ds, 16, seed=5))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_celeba_crop_dataset(tmp_path):
+    """'celeba:<dir>' applies the 128-window center crop then resize."""
+    from PIL import Image
+
+    from diff_pruning_tpu.data.datasets import get_dataset
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (218, 178, 3), dtype=np.uint8)  # celeba dims
+    Image.fromarray(img).save(tmp_path / "a.png")
+    ds = get_dataset(f"celeba:{tmp_path}", resolution=64)
+    out = ds.load(0)
+    assert out.shape == (64, 64, 3)
+    # crop window check: the recipe crops rows 57:185, cols 25:153 then
+    # resizes — compare against a direct PIL recreation
+    ref = Image.fromarray(img).crop((25, 57, 153, 185)).resize((64, 64))
+    np.testing.assert_allclose(out, np.asarray(ref), atol=1)

@@ -115,3 +115,51 @@ def test_vq_quantize_roundtrip():
     flat = np.asarray(zq).reshape(-1, 3)
     ids = np.asarray(idx).reshape(-1)
     np.testing.assert_allclose(flat, emb[ids], rtol=1e-6)
+
+
+def test_ldm_uncond_pipeline_integration():
+    """The LDMPipeline path (pipeline_latent_diffusion_uncond.py:93-101):
+    latent DDIM with a UNet2D + VQ decode, on tiny models — prune the UNet,
+    rebuild, and the whole pipeline still runs."""
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, UNet2DConfig
+    from diff_pruning_tpu.pruning.importance import make_importance
+    from diff_pruning_tpu.pruning.pruner import apply_pruning, prune
+    from diff_pruning_tpu.sampling.ddim_sampler import SamplerConfig, make_sampler
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+
+    ucfg = UNet2DConfig(
+        sample_size=8, in_channels=3, out_channels=3,
+        block_out_channels=(32, 64),
+        down_block_types=("DownBlock2D", "AttnDownBlock2D"),
+        up_block_types=("AttnUpBlock2D", "UpBlock2D"),
+        layers_per_block=1, attention_head_dim=8, norm_num_groups=8)
+    vcfg = AutoencoderConfig(block_out_channels=(16, 32), layers_per_block=1,
+                             latent_channels=3, norm_num_groups=4,
+                             num_vq_embeddings=32)
+    unet = UNet2D(ucfg)
+    vq = VQModel(vcfg)
+    uparams = unet.init(jax.random.key(0))
+    vparams = vq.init(jax.random.key(1))
+
+    # head-grouped pruning (ldm_prune.py:75-81 semantics are structural here)
+    res = prune(unet.graph, uparams, make_importance("magnitude"),
+                sparsity=0.25, round_to=2)
+    up2 = apply_pruning(uparams, unet.graph, res)
+    unet2 = UNet2D(ucfg.with_channel_sizes(res.channel_sizes))
+    unet2.graph.validate(up2)
+    # attention inner vars kept head-divisible
+    for v in unet2.graph.prunable_vars():
+        if v.name.endswith("/inner"):
+            assert v.size % v.group_div == 0
+
+    sched = DiffusionSchedule.create(beta_schedule="scaled_linear",
+                                     beta_start=0.0015, beta_end=0.0195)
+    sampler = make_sampler(unet2, up2, sched,
+                           SamplerConfig(num_inference_steps=4,
+                                         clip_sample=False))
+    lat = sampler(jax.random.key(2), 2, 8, 3)
+    img = vq.decode(vparams, (lat * 2.0 - 1.0), force_not_quantize=True)
+    assert img.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(img)).all()
