@@ -31,8 +31,11 @@ def parse_args(argv=None):
     p.add_argument("--thr", type=float, default=0.05, help="threshold for diff-pruning")
     p.add_argument("--max_steps", type=int, default=None,
                    help="cap the Taylor sweep (default: num_train_timesteps)")
-    p.add_argument("--device_loop", action="store_true",
-                   help="run the sweep fully on-device (lax.while_loop)")
+    p.add_argument("--host_loop", action="store_true",
+                   help="drive the sweep from the host (per-step logging; "
+                        "default runs the whole early-exit sweep as one "
+                        "on-device lax.while_loop — much faster behind the "
+                        "chip tunnel)")
     p.add_argument("--global_pruning", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_vis", action="store_true")
@@ -97,7 +100,7 @@ def main(argv=None):
             thr = args.thr if args.pruner == "diff-pruning" else None
             print("Accumulating gradients for pruning...")
             t0 = time.time()
-            sweep = accumulate_taylor_grads_scan if args.device_loop else accumulate_taylor_grads
+            sweep = accumulate_taylor_grads if args.host_loop else accumulate_taylor_grads_scan
             res_sweep = sweep(model, params, schedule, x0, noise,
                               thr=thr, max_steps=args.max_steps, loss_type="mse")
             grads = res_sweep.grads
