@@ -288,3 +288,58 @@ def test_alternative_optimizers(tiny, opt):
     moved = max(float(jnp.abs(a - b).max()) for a, b in
                 zip(jax.tree.leaves(s2.params), jax.tree.leaves(params)))
     assert moved > 0
+
+
+def test_class_conditional_unet2d():
+    """UNet2DModel's num_class_embeds path (unet_2d.py:137-138,261-269):
+    label embedding added to temb; prunable with everything else; the
+    sampler threads labels through."""
+    import dataclasses
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, tiny_unet_config
+    from diff_pruning_tpu.pruning.importance import make_importance
+    from diff_pruning_tpu.pruning.pruner import apply_pruning, prune
+
+    cfg = dataclasses.replace(tiny_unet_config(attn=False), num_class_embeds=5)
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    model.graph.validate(params)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.array([1, 2])
+    y0 = model(params, x, t, class_labels=jnp.array([0, 1]))
+    y1 = model(params, x, t, class_labels=jnp.array([3, 4]))
+    assert float(jnp.abs(y0 - y1).max()) > 0  # labels matter
+    with pytest.raises(ValueError):
+        model(params, x, t)  # labels required
+
+    res = prune(model.graph, params, make_importance("magnitude"), sparsity=0.3)
+    p2 = apply_pruning(params, model.graph, res)
+    m2 = UNet2D(cfg.with_channel_sizes(res.channel_sizes))
+    m2.graph.validate(p2)
+    # the class embedding's feature dim follows the pruned temb var
+    assert p2["class_embedding"]["weight"].shape == (
+        5, res.channel_sizes["time_embedding/out"])
+    m2(p2, x, t, class_labels=jnp.array([0, 4]))
+
+    sampler = make_sampler(m2, p2, DiffusionSchedule.create(),
+                           SamplerConfig(num_inference_steps=3))
+    imgs = sampler(jax.random.key(0), 2, 16, 3, jnp.array([1, 2]))
+    assert imgs.shape == (2, 16, 16, 3)
+
+
+def test_sample_many_writes_images(tiny, tmp_path):
+    from diff_pruning_tpu.sampling.distributed import sample_many
+
+    cfg, model, params = tiny
+    sched = DiffusionSchedule.create()
+    sampler = make_sampler(model, params, sched,
+                           SamplerConfig(num_inference_steps=2))
+    sample_many(sampler, key=jax.random.key(0), total_images=10, batch_size=4,
+                hw=16, channels=3, outdir=str(tmp_path))
+    import os
+
+    files = sorted(os.listdir(tmp_path))
+    assert len(files) == 10 and files[0] == "000000.png"
+    arr = sample_many(sampler, key=jax.random.key(0), total_images=6,
+                      batch_size=4, hw=16, channels=3)
+    assert arr.shape == (6, 16, 16, 3)
