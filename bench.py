@@ -1,11 +1,19 @@
-"""Benchmark: DDPM CIFAR-10 DDIM sampling throughput on one chip.
+"""Benchmark: DDPM CIFAR-10 prune / finetune / sampling throughput on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "sub": {...}}
 
-Metric: images/sec for 100-step DDIM sampling of the 35.7M-param DDPM
-CIFAR-10 UNet (the reference's headline workload: 50k-image FID runs,
-ddpm_sample.py). The whole 100-step trajectory is one compiled lax.scan.
+Headline metric (same name as round 1 for comparability): images/sec for
+100-step DDIM sampling of the 35.7M-param DDPM CIFAR-10 UNet (the
+reference's headline workload: 50k-image FID runs, ddpm_sample.py). The
+whole 100-step trajectory is one compiled lax.scan. `sub` adds the other
+two BASELINE.json workloads: finetune imgs/s (bf16, bs 128, reference
+hyperparams) and the full 1000-step Diff-Pruning gradient sweep wall-clock
+(ddpm_prune.py:94-106 as one lax.while_loop), plus measured sampling MFU.
+
+Timing: this platform's block_until_ready does not reliably synchronize
+(CLAUDE.md); every measurement forces a host transfer of a scalar reduction
+instead, which cannot complete before the computation has.
 
 Baseline: the reference publishes NO throughput numbers (SURVEY.md §6), so
 vs_baseline is computed against an analytic A100 estimate of the reference
@@ -22,6 +30,89 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_REF_IMGS_PER_SEC = 64.0
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e peak dense bf16
+
+
+def _sync(x):
+    """Force completion by pulling a scalar to the host (CLAUDE.md: do NOT
+    trust block_until_ready on this platform)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def bench_sampling(model, params, schedule):
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.sampling.ddim_sampler import SamplerConfig, make_sampler
+
+    bf16 = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    sampler = make_sampler(model, bf16, schedule,
+                           SamplerConfig(num_inference_steps=100,
+                                         skip_type="quad", style="ddim_exp",
+                                         dtype="bfloat16"))
+    batch = 128  # best measured batch on v5e (99 imgs/s vs 75 at bs512)
+    _sync(sampler(jax.random.key(0), batch, 32, 3))  # warmup / compile
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        _sync(sampler(jax.random.key(i + 1), batch, 32, 3))
+    dt = (time.perf_counter() - t0) / reps
+    return batch / dt
+
+
+def bench_finetune(model, params, schedule):
+    """Finetune step throughput at the reference recipe (bs 128, bf16 compute,
+    EMA on, sum-SE loss) — scripts/finetune_ddpm_cifar10.sh."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.training.finetune import (TrainConfig,
+                                                    init_train_state,
+                                                    make_chunked_train_step)
+
+    cfg = TrainConfig(use_ema=True, mixed_precision="bf16")
+    state = init_train_state(params, cfg)
+    chunk = 8
+    step = make_chunked_train_step(model, schedule, cfg, chunk=chunk)
+    batch = jnp.zeros((chunk, 128, 32, 32, 3), jnp.float32)
+    state, m = step(state, batch, jax.random.key(0))  # compile + warmup
+    _sync(m["loss"])
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, m = step(state, batch, jax.random.key(i + 1))
+        _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / reps
+    return chunk * 128 / dt
+
+
+def bench_sweep(model, params, schedule):
+    """Full 1000-step Taylor gradient sweep (thr=None: no early exit), bs 128
+    like ddpm_prune.py's grad loop — the paper's pruning workload."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.diffpruning.sweep import accumulate_taylor_grads_scan
+
+    x0 = jax.random.uniform(jax.random.key(1), (128, 32, 32, 3),
+                            jnp.float32, -1.0, 1.0)
+    noise = jax.random.normal(jax.random.key(2), x0.shape)
+    # compile probe at 2 steps would recompile at 1000 (T is baked into the
+    # while bound's shape-independent cond, so one timed run includes compile
+    # only once) -> run once untimed, once timed
+    t0 = time.perf_counter()
+    res = accumulate_taylor_grads_scan(model, params, schedule, x0, noise,
+                                       thr=None, max_steps=1000)
+    _sync(res.losses[-1])
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = accumulate_taylor_grads_scan(model, params, schedule, x0, noise,
+                                       thr=None, max_steps=1000)
+    _sync(res.losses[-1])
+    dt = time.perf_counter() - t0
+    return dt, first - dt  # (steady wall-clock, approx compile time)
 
 
 def main():
@@ -29,32 +120,34 @@ def main():
     import jax.numpy as jnp
 
     from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_cifar10_config
-    from diff_pruning_tpu.sampling.ddim_sampler import SamplerConfig, make_sampler
+    from diff_pruning_tpu.pruning.flops import count_ops_and_params
     from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
 
     cfg = ddpm_cifar10_config()
     model = UNet2D(cfg)
     params = model.init(jax.random.key(0))
-    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
     schedule = DiffusionSchedule.create()
-    sampler = make_sampler(model, params, schedule,
-                           SamplerConfig(num_inference_steps=100,
-                                         skip_type="quad", style="ddim_exp",
-                                         dtype="bfloat16"))
-    batch = 128  # best measured batch on v5e (99 imgs/s vs 75 at bs512)
-    # warmup / compile
-    sampler(jax.random.key(0), batch, 32, 3).block_until_ready()
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        sampler(jax.random.key(i), batch, 32, 3).block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    imgs_per_sec = batch / dt
+    macs, _ = count_ops_and_params(model, params, (1, 32, 32, 3))
+
+    imgs_per_sec = bench_sampling(model, params, schedule)
+    flops_per_img = 2.0 * macs * 100  # conv/linear MACs x 100 DDIM evals
+    mfu = imgs_per_sec * flops_per_img / V5E_PEAK_BF16_FLOPS
+
+    ft_imgs_per_sec = bench_finetune(model, params, schedule)
+    sweep_s, sweep_compile_s = bench_sweep(model, params, schedule)
+
     print(json.dumps({
         "metric": "ddpm_cifar10_ddim100_sampling_imgs_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/s",
         "vs_baseline": round(imgs_per_sec / A100_REF_IMGS_PER_SEC, 3),
+        "sub": {
+            "sampling_mfu_pct": round(100 * mfu, 1),
+            "finetune_imgs_per_sec": round(ft_imgs_per_sec, 1),
+            "sweep_1000step_bs128_seconds": round(sweep_s, 1),
+            "sweep_compile_seconds": round(sweep_compile_s, 1),
+            "macs_per_eval_g": round(macs / 1e9, 2),
+        },
     }))
 
 

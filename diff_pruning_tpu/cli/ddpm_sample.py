@@ -98,7 +98,7 @@ def main(argv=None):
         eta=args.eta,
         clip_sample=not args.no_clip,
         dtype=args.dtype,
-    ))
+    ), mesh=mesh)
     t0 = time.time()
     sample_many(sampler, key=jax.random.key(args.seed),
                 total_images=args.total_samples, batch_size=args.batch_size,

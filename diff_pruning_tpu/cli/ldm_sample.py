@@ -25,14 +25,18 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
+    from ..parallel.mesh import make_mesh
     from ..sampling.ddim_sampler import save_images
     from .ldm_prune import load_ldm
 
     ldm, params = load_ldm(args.model_path, None, args.seed)
     hw, ch = ldm.unet.cfg.image_size, ldm.unet.cfg.in_channels
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
+    if mesh is not None and args.batch_size % len(jax.devices()):
+        mesh = None  # batch not shardable; fall back to single-program
     sampler = ldm.make_cfg_sampler(params, ddim_steps=args.ddim_steps,
                                    guidance_scale=args.scale, eta=args.eta,
-                                   latent_hw=hw, latent_ch=ch)
+                                   latent_hw=hw, latent_ch=ch, mesh=mesh)
     os.makedirs(args.output_dir, exist_ok=True)
     key = jax.random.key(args.seed)
     idx = 0

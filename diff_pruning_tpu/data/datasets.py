@@ -143,6 +143,69 @@ def normalize(batch_u8: np.ndarray) -> np.ndarray:
     return batch_u8.astype(np.float32) / 127.5 - 1.0
 
 
+def logit_transform(x01: np.ndarray, lam: float = 1e-6) -> np.ndarray:
+    """ddpm_exp/datasets/__init__.py:179-181."""
+    x = lam + (1.0 - 2.0 * lam) * x01
+    return np.log(x) - np.log1p(-x)
+
+
+def data_transform(
+    x01: np.ndarray,
+    *,
+    uniform_dequantization: bool = False,
+    gaussian_dequantization: bool = False,
+    rescaled: bool = True,
+    logit: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """The ddpm_exp input-transform family (datasets/__init__.py:184-198).
+    Input in [0,1] float32; order matches the reference exactly."""
+    x = x01.astype(np.float32)
+    if uniform_dequantization:
+        rng = rng or np.random.default_rng(0)
+        x = x / 256.0 * 255.0 + rng.random(x.shape, np.float32) / 256.0
+    if gaussian_dequantization:
+        rng = rng or np.random.default_rng(0)
+        x = x + rng.standard_normal(x.shape, np.float32) * 0.01
+    if logit:
+        return logit_transform(x)
+    if rescaled:
+        return 2.0 * x - 1.0
+    return x
+
+
+def inverse_data_transform(x: np.ndarray, *, rescaled: bool = True,
+                           logit: bool = False) -> np.ndarray:
+    """datasets/__init__.py:201-215: undo the transform, clamp to [0,1]."""
+    if logit:
+        x = 1.0 / (1.0 + np.exp(-x))
+    elif rescaled:
+        x = (x + 1.0) / 2.0
+    return np.clip(x, 0.0, 1.0)
+
+
+def _parse_transform(name: Optional[str]) -> dict:
+    """'logit' | 'rescaled' (default) with '+udq'/'+gdq' dequant suffixes,
+    e.g. 'logit+udq' = logit transform with uniform dequantization."""
+    kw = dict(uniform_dequantization=False, gaussian_dequantization=False,
+              rescaled=True, logit=False)
+    if not name:
+        return kw
+    for part in name.split("+"):
+        if part == "logit":
+            kw["logit"] = True
+            kw["rescaled"] = False
+        elif part in ("rescaled", ""):
+            pass
+        elif part == "udq":
+            kw["uniform_dequantization"] = True
+        elif part == "gdq":
+            kw["gaussian_dequantization"] = True
+        else:
+            raise ValueError(f"unknown transform component {part!r} in {name!r}")
+    return kw
+
+
 def iterate_batches(
     dataset,
     batch_size: int,
@@ -151,8 +214,21 @@ def iterate_batches(
     flip: bool = True,
     drop_last: bool = True,
     loop: bool = True,
+    skip_batches: int = 0,
+    transform: Optional[str] = None,
+    dequant_seed: Optional[int] = None,
 ) -> Iterator[np.ndarray]:
-    """Shuffled epochs of normalized NHWC float32 batches with random flip."""
+    """Shuffled epochs of normalized NHWC float32 batches with random flip.
+
+    ``skip_batches`` fast-forwards the stream for resume: the shuffle and
+    flip RNG draws are replayed without touching pixel data, so a resumed
+    run sees exactly the batches an uninterrupted run would have.
+    ``transform`` selects the ddpm_exp input-transform family
+    (datasets/__init__.py:184-215) applied after Normalize: None (the
+    [-1,1] default), or one of data_transforms' names via
+    :func:`data_transform` with uniform dequantization noise drawn from
+    ``dequant_seed``.
+    """
     from .. import native
 
     rng = np.random.default_rng(seed)
@@ -161,18 +237,27 @@ def iterate_batches(
     use_native_folder = (
         isinstance(dataset, ImageFolderDataset) and not dataset.celeba_crop
         and dataset.resolution is not None)
+    tkw = _parse_transform(transform)
+    plain = not (tkw["logit"] or tkw["uniform_dequantization"]
+                 or tkw["gaussian_dequantization"])
+    trng = np.random.default_rng(seed + 1 if dequant_seed is None else dequant_seed)
+    to_skip = skip_batches
     while True:
         order = rng.permutation(n)
         end = n - (n % batch_size) if drop_last else n
         for i in range(0, end, batch_size):
             idx = order[i:i + batch_size]
             flips = (rng.random(len(idx)) < 0.5) if flip else np.zeros(len(idx), bool)
+            if to_skip > 0:
+                to_skip -= 1
+                continue
             if in_memory:
-                # hot path: native OpenMP gather+flip+normalize
-                out = native.assemble_batch(dataset.images, idx, flips)
-                if out is not None:
-                    yield out
-                    continue
+                if plain:
+                    # hot path: native OpenMP gather+flip+normalize
+                    out = native.assemble_batch(dataset.images, idx, flips)
+                    if out is not None:
+                        yield out
+                        continue
                 imgs = dataset.images[idx]
             elif use_native_folder:
                 imgs = native.decode_batch([dataset.files[j] for j in idx],
@@ -184,7 +269,11 @@ def iterate_batches(
             if flip:
                 imgs = imgs.copy()
                 imgs[flips] = imgs[flips, :, ::-1]
-            yield normalize(imgs)
+            if plain:
+                yield normalize(imgs)
+            else:
+                yield data_transform(imgs.astype(np.float32) / 255.0,
+                                     rng=trng, **tkw)
         if not loop:
             return
 

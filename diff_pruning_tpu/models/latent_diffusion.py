@@ -97,25 +97,42 @@ class LatentDiffusion:
 
     def make_cfg_sampler(self, params, *, ddim_steps: int = 20,
                          guidance_scale: float = 3.0, eta: float = 0.0,
-                         latent_hw: int = 64, latent_ch: int = 3):
+                         latent_hw: int = 64, latent_ch: int = 3,
+                         mesh=None, data_axis: str = "data"):
         """Jitted class-conditional CFG DDIM sampler over latents.
 
         Batches cond+uncond through one UNet call (x_in = cat([x]*2),
-        ldm/models/diffusion/ddim.py:188-192).
+        ldm/models/diffusion/ddim.py:188-192). With ``mesh``, the batch is
+        sharded over the mesh's data axis (params replicated) — the SPMD
+        equivalent of sample_for_FID.py's per-process fan-out.
         """
         ts = compvis_ddim_timesteps(ddim_steps, self.schedule.num_train_timesteps)
         prev = ddim_prev_timesteps(ts)
         ts_j, prev_j = jnp.asarray(ts, jnp.int32), jnp.asarray(prev, jnp.int32)
         uc = self.uncond_class
 
-        @functools.partial(jax.jit, static_argnums=(2,))
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_shards = mesh.shape[data_axis]
+            data_sh = NamedSharding(mesh, P(data_axis))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+
+        @functools.partial(jax.jit, static_argnums=(2,),
+                           out_shardings=data_sh if mesh is not None else None)
         def sample_latents(key, labels, batch_size: int):
+            if mesh is not None:
+                assert batch_size % n_shards == 0, (
+                    f"batch {batch_size} not divisible by data axis {n_shards}")
+                labels = jax.lax.with_sharding_constraint(labels, data_sh)
             ctx_c = self.get_learned_conditioning(params, labels)
             ctx_u = self.get_learned_conditioning(
                 params, jnp.full((batch_size,), uc, jnp.int32))
             ctx = jnp.concatenate([ctx_u, ctx_c], axis=0)
             key, ik = jax.random.split(key)
             x = jax.random.normal(ik, (batch_size, latent_hw, latent_hw, latent_ch))
+            if mesh is not None:
+                x = jax.lax.with_sharding_constraint(x, data_sh)
 
             def step(carry, inp):
                 x, key = carry

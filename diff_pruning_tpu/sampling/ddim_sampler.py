@@ -16,6 +16,7 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..schedulers.ddim import ddim_prev_timesteps, ddim_step, ddim_timesteps, ddpm_step
 from ..schedulers.ddpm import DiffusionSchedule
@@ -37,8 +38,16 @@ class SamplerConfig:
 
 
 def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
-                 class_labels: bool = False) -> Callable:
-    """Returns sample(key, batch_size, hw, channels[, labels]) -> images in [0,1]."""
+                 class_labels: bool = False, mesh=None,
+                 data_axis: str = "data") -> Callable:
+    """Returns sample(key, batch_size, hw, channels[, labels]) -> images in [0,1].
+
+    With ``mesh``, the whole trajectory is one SPMD program: the initial
+    noise (and labels) are sharded over the mesh's data axis, params are
+    replicated, and the output comes back data-sharded — the reference's
+    8-process sampling fan-out (ddpm_sample.py:55-77) as a single program.
+    batch_size must divide by the data-axis size.
+    """
     ts = ddim_timesteps(cfg.num_inference_steps, schedule.num_train_timesteps,
                         cfg.skip_type, style=cfg.style)
     prev = ddim_prev_timesteps(ts, schedule.num_train_timesteps,
@@ -49,10 +58,23 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
 
     compute_dtype = jnp.dtype(cfg.dtype)
 
-    @functools.partial(jax.jit, static_argnums=(1, 2, 3))
+    if mesh is not None:
+        n_shards = mesh.shape[data_axis]
+        data_sh = NamedSharding(mesh, P(data_axis))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    @functools.partial(jax.jit, static_argnums=(1, 2, 3),
+                       out_shardings=data_sh if mesh is not None else None)
     def sample(key, batch_size: int, hw: int, channels: int, labels=None):
+        if mesh is not None:
+            assert batch_size % n_shards == 0, (
+                f"batch {batch_size} not divisible by data axis {n_shards}")
         key, init_key = jax.random.split(key)
         x = jax.random.normal(init_key, (batch_size, hw, hw, channels))
+        if mesh is not None:
+            x = jax.lax.with_sharding_constraint(x, data_sh)
+            if labels is not None:
+                labels = jax.lax.with_sharding_constraint(labels, data_sh)
 
         def step(carry, inp):
             x, key = carry

@@ -35,17 +35,26 @@ def sample_many(
 ) -> Optional[np.ndarray]:
     """Run `sampler` repeatedly; save PNGs to outdir or return the array.
 
-    batch_size is the global per-call batch (it is sharded over the mesh).
+    batch_size is the global per-call batch. Pass the same ``mesh`` the
+    sampler was built with (make_sampler(..., mesh=mesh)) — the sampler
+    shards the trajectory over the data axis; here labels are placed
+    data-sharded and divisibility is checked.
     num_batches = ceil(total/batch) like ddpm_sample.py:67.
     """
     num_batches = (total_images + batch_size - 1) // batch_size
     sh = data_sharding(mesh) if mesh is not None else None
+    if mesh is not None:
+        n_shards = mesh.shape["data"]
+        assert batch_size % n_shards == 0, (
+            f"batch_size {batch_size} must divide by the data axis ({n_shards})")
     results = [] if outdir is None else None
     saved = 0
     for b in range(num_batches):
         bkey = jax.random.fold_in(key, b)
         if labels_fn is not None:
             labels = labels_fn(bkey, batch_size)
+            if sh is not None:
+                labels = jax.device_put(labels, sh)
             imgs = sampler(bkey, batch_size, hw, channels, labels)
         else:
             imgs = sampler(bkey, batch_size, hw, channels)
