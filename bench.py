@@ -73,7 +73,9 @@ def bench_finetune(model, params, schedule):
                                                     make_chunked_train_step)
 
     cfg = TrainConfig(use_ema=True, mixed_precision="bf16")
-    state = init_train_state(params, cfg)
+    # the chunked step donates its state; train on a copy so the caller's
+    # params survive for the following benchmarks
+    state = init_train_state(jax.tree.map(jnp.copy, params), cfg)
     chunk = 8
     step = make_chunked_train_step(model, schedule, cfg, chunk=chunk)
     batch = jnp.zeros((chunk, 128, 32, 32, 3), jnp.float32)

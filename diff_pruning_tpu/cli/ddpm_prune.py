@@ -37,6 +37,12 @@ def parse_args(argv=None):
                         "on-device lax.while_loop — much faster behind the "
                         "chip tunnel)")
     p.add_argument("--global_pruning", action="store_true")
+    p.add_argument("--use_generated_samples", action="store_true",
+                   help="accumulate Taylor grads on the model's OWN samples "
+                        "instead of dataset images "
+                        "(ddpm_exp/prune_test.py:230-237); no --dataset needed")
+    p.add_argument("--gen_ddim_steps", type=int, default=100,
+                   help="DDIM steps used to draw the generated samples")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_vis", action="store_true")
     return p.parse_args(argv)
@@ -90,12 +96,34 @@ def main(argv=None):
     if args.pruning_ratio > 0:
         if args.pruner in ("taylor", "diff-pruning", "fisher",
                            "first_order_taylor", "second_order_taylor"):
-            from ..data.datasets import get_dataset, iterate_batches
+            if args.use_generated_samples:
+                # Taylor grads on the model's own samples
+                # (ddpm_exp/prune_test.py:230-237). The reference feeds the
+                # [0,1] inverse-transformed samples into the loss; we keep
+                # them in the model's [-1,1] domain (the trained input
+                # distribution) — documented deviation.
+                from ..sampling.ddim_sampler import (SamplerConfig,
+                                                     make_sampler,
+                                                     save_image_grid)
 
-            ds = get_dataset(args.dataset, resolution=cfg.sample_size)
-            print(f"Dataset size: {len(ds)}")
-            batch = next(iterate_batches(ds, args.batch_size, seed=args.seed))
-            x0 = jnp.asarray(batch)
+                gen = make_sampler(model, params, schedule, SamplerConfig(
+                    num_inference_steps=args.gen_ddim_steps,
+                    skip_type="quad", style="ddim_exp"))
+                hw = cfg.sample_size or 32
+                x01 = gen(jax.random.key(args.seed), args.batch_size, hw,
+                          cfg.in_channels)
+                os.makedirs(args.save_path, exist_ok=True)
+                save_image_grid(x01[:64], os.path.join(
+                    args.save_path, "generated_for_pruning.png"))
+                x0 = x01 * 2.0 - 1.0
+                print(f"Generated {args.batch_size} samples for the sweep")
+            else:
+                from ..data.datasets import get_dataset, iterate_batches
+
+                ds = get_dataset(args.dataset, resolution=cfg.sample_size)
+                print(f"Dataset size: {len(ds)}")
+                batch = next(iterate_batches(ds, args.batch_size, seed=args.seed))
+                x0 = jnp.asarray(batch)
             noise = jax.random.normal(jax.random.key(args.seed), x0.shape)
             thr = args.thr if args.pruner == "diff-pruning" else None
             print("Accumulating gradients for pruning...")

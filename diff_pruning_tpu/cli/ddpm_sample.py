@@ -23,6 +23,9 @@ def parse_args(argv=None):
     p.add_argument("--skip_type", type=str, default="uniform", choices=["uniform", "quad"])
     p.add_argument("--style", type=str, default="ddim_exp", choices=["diffusers", "ddim_exp"])
     p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "ddpm", "plms"],
+                   help="trajectory kind (plms: ldm_exp plms.py, eta=0 only)")
     p.add_argument("--no_clip", action="store_true")
     p.add_argument("--use_ema", action="store_true",
                    help="load unet_ema subfolder if present")
@@ -90,13 +93,16 @@ def main(argv=None):
             print("wrote interpolation.png")
         return
 
-    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    mesh = make_mesh((("data", n_use),), devices=jax.devices()[:n_use])
     sampler = make_sampler(model, params, schedule, SamplerConfig(
         num_inference_steps=args.ddim_steps,
         skip_type=args.skip_type,
         style=args.style,
         eta=args.eta,
         clip_sample=not args.no_clip,
+        kind=args.sampler,
         dtype=args.dtype,
     ), mesh=mesh)
     t0 = time.time()

@@ -92,8 +92,12 @@ def main(argv=None):
         mixed_precision="bf16" if args.mixed_precision == "bf16" else "no",
     )
 
-    mesh = make_mesh()
-    print(f"mesh: {mesh.shape}, devices: {len(jax.devices())}")
+    # data mesh over the most devices that evenly divide the batch
+    n_dev = len(jax.devices())
+    n_use = max(d for d in range(1, n_dev + 1)
+                if args.train_batch_size % d == 0)
+    mesh = make_mesh((("data", n_use),), devices=jax.devices()[:n_use])
+    print(f"mesh: {mesh.shape}, devices: {n_dev}")
     state = init_train_state(params, tcfg_train)
     start_step = 0
     if args.resume_from_checkpoint:

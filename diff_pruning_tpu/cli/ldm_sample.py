@@ -18,6 +18,7 @@ def main(argv=None):
     p.add_argument("--ddim_steps", type=int, default=250)
     p.add_argument("--scale", type=float, default=3.0)
     p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--method", type=str, default="ddim", choices=["ddim", "plms"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -36,7 +37,8 @@ def main(argv=None):
         mesh = None  # batch not shardable; fall back to single-program
     sampler = ldm.make_cfg_sampler(params, ddim_steps=args.ddim_steps,
                                    guidance_scale=args.scale, eta=args.eta,
-                                   latent_hw=hw, latent_ch=ch, mesh=mesh)
+                                   latent_hw=hw, latent_ch=ch, mesh=mesh,
+                                   method=args.method)
     os.makedirs(args.output_dir, exist_ok=True)
     key = jax.random.key(args.seed)
     idx = 0

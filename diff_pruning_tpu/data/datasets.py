@@ -53,6 +53,20 @@ def load_cifar10(root: str) -> ArrayDataset:
     return ArrayDataset(np.concatenate(imgs))
 
 
+def load_cifar100(root: str) -> ArrayDataset:
+    """CIFAR-100 python-pickle 'train' file (utils.py:37-44's CIFAR100)."""
+    d = root
+    if os.path.isdir(os.path.join(root, "cifar-100-python")):
+        d = os.path.join(root, "cifar-100-python")
+    f = os.path.join(d, "train")
+    if not os.path.exists(f):
+        raise FileNotFoundError(f"no CIFAR-100 'train' pickle under {root}")
+    with open(f, "rb") as fh:
+        entry = pickle.load(fh, encoding="latin1")
+    arr = np.asarray(entry["data"], np.uint8).reshape(-1, 3, 32, 32)
+    return ArrayDataset(arr.transpose(0, 2, 3, 1))
+
+
 def load_npz(path: str, key: str = "images") -> ArrayDataset:
     with np.load(path) as z:
         arr = z[key] if key in z.files else z[z.files[0]]
@@ -90,6 +104,73 @@ def _load_image(path: str, resolution: Optional[int], celeba_crop: bool) -> np.n
     return np.asarray(im, np.uint8)
 
 
+def _resize_center_crop(im, resolution: int):
+    """transforms.Resize(s) (shorter side) + CenterCrop(s) — the LSUN
+    pipeline (ddpm_exp/datasets/__init__.py:113-136)."""
+    w, h = im.size
+    if (w, h) != (resolution, resolution):
+        s = resolution / min(w, h)
+        im = im.resize((max(resolution, round(w * s)),
+                        max(resolution, round(h * s))))
+        w, h = im.size
+        left, top = (w - resolution) // 2, (h - resolution) // 2
+        im = im.crop((left, top, left + resolution, top + resolution))
+    return im
+
+
+class LSUNDataset:
+    """LSUN lmdb category database (ddpm_exp/datasets/lsun.py:11-58), read
+    through the pure-Python LMDB reader; values are encoded (webp) images."""
+
+    def __init__(self, root: str, resolution: int = 256):
+        from .lmdb_io import LMDBReader
+
+        self.db = LMDBReader(root)
+        self.keys = self.db.keys()  # lsun.py:34-36's cached key scan
+        self.resolution = resolution
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def load(self, idx: int) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        im = Image.open(io.BytesIO(self.db.get(self.keys[idx]))).convert("RGB")
+        return np.asarray(_resize_center_crop(im, self.resolution), np.uint8)
+
+
+class FFHQDataset:
+    """FFHQ lmdb (ddpm_exp/datasets/ffhq.py): length under key b'length',
+    images under f'{resolution}-{index:05d}'."""
+
+    def __init__(self, root: str, resolution: int = 256):
+        from .lmdb_io import LMDBReader
+
+        self.db = LMDBReader(root)
+        raw = self.db.get(b"length")
+        if raw is None:
+            raise FileNotFoundError(f"{root}: no 'length' key (not FFHQ-layout)")
+        self.length = int(raw.decode())
+        self.resolution = resolution
+
+    def __len__(self) -> int:
+        return self.length
+
+    def load(self, idx: int) -> np.ndarray:
+        import io
+
+        from PIL import Image
+
+        key = f"{self.resolution}-{str(idx).zfill(5)}".encode()
+        raw = self.db.get(key)
+        if raw is None:
+            raise KeyError(f"FFHQ key {key!r} missing")
+        im = Image.open(io.BytesIO(raw)).convert("RGB")
+        return np.asarray(im, np.uint8)
+
+
 @dataclasses.dataclass
 class ImageFolderDataset:
     """Recursive unlabeled image folder (utils.py:8-24)."""
@@ -106,9 +187,11 @@ class ImageFolderDataset:
 
 
 def get_dataset(name_or_path: str, resolution: Optional[int] = None):
-    """utils.py:31-58 equivalent: 'cifar10' | npz | image dir |
-    'celeba:<dir>' (applies the DDIM-codebase CelebA center-crop recipe,
-    ddpm_exp/datasets/__init__.py:61-107)."""
+    """utils.py:31-58 equivalent: 'cifar10' | 'cifar100' | npz | image dir |
+    'celeba:<dir>' (the DDIM-codebase CelebA center-crop recipe,
+    ddpm_exp/datasets/__init__.py:61-107) | 'lsun:<lmdb-dir>' (lmdb category
+    database, resize+center-crop, :110-136) | 'ffhq:<lmdb-dir>'
+    (:150-165); a directory containing data.mdb is treated as LSUN."""
     if name_or_path is None:
         raise ValueError("dataset required")
     if name_or_path.startswith("celeba:"):
@@ -117,15 +200,35 @@ def get_dataset(name_or_path: str, resolution: Optional[int] = None):
             raise FileNotFoundError(name_or_path)
         return ImageFolderDataset(files, resolution=resolution or 64,
                                   celeba_crop=True)
+    if name_or_path.startswith("lsun:"):
+        return LSUNDataset(name_or_path[len("lsun:"):],
+                           resolution=resolution or 256)
+    if name_or_path.startswith("ffhq:"):
+        return FFHQDataset(name_or_path[len("ffhq:"):],
+                           resolution=resolution or 256)
     if name_or_path.endswith(".npz"):
         return load_npz(name_or_path)
     if os.path.isdir(name_or_path):
+        if os.path.exists(os.path.join(name_or_path, "data.mdb")):
+            return LSUNDataset(name_or_path, resolution=resolution or 256)
         if glob(os.path.join(name_or_path, "*data_batch_*")) or os.path.isdir(
                 os.path.join(name_or_path, "cifar-10-batches-py")):
             return load_cifar10(name_or_path)
+        if os.path.isdir(os.path.join(name_or_path, "cifar-100-python")):
+            return load_cifar100(name_or_path)
         files = list_image_files(name_or_path)
         if files:
             return ImageFolderDataset(files, resolution=resolution or 256)
+    if "cifar100" in name_or_path.lower().replace("-", ""):
+        for root in (name_or_path, "data/cifar100",
+                     os.path.expanduser("~/data/cifar100")):
+            try:
+                return load_cifar100(root)
+            except (FileNotFoundError, NotADirectoryError):
+                continue
+        raise FileNotFoundError(
+            "CIFAR-100 'train' pickle not found; place cifar-100-python "
+            "locally (no network access in this environment)")
     if "cifar" in name_or_path.lower():
         for root in (name_or_path, "data/cifar10", os.path.expanduser("~/data/cifar10")):
             try:

@@ -40,13 +40,26 @@ import jax.numpy as jnp
 from ..schedulers.ddpm import DiffusionSchedule
 
 
-def make_loss_fn(model, schedule: DiffusionSchedule, loss_type: str = "mse"):
-    """(params, x0, noise, t) -> scalar DDPM noise-prediction loss."""
+def make_loss_fn(model, schedule: DiffusionSchedule, loss_type: str = "mse",
+                 compute_dtype=None):
+    """(params, x0, noise, t) -> scalar DDPM noise-prediction loss.
+
+    ``compute_dtype=jnp.bfloat16`` runs the model fwd/bwd on the MXU's fast
+    path (params cast at trace time; the error and reduction stay f32, and
+    grads accumulate in the params' own f32 buffers) — the same mixed
+    precision the finetune step uses. Taylor scores are |w·g| sums over
+    whole channels, far above bf16 noise."""
 
     def loss_fn(params, x0, noise, t):
-        noisy = schedule.add_noise(x0, noise, t)
+        if compute_dtype is not None:
+            params = jax.tree.map(lambda a: a.astype(compute_dtype), params)
+            x0 = x0.astype(compute_dtype)
+            noise_c = noise.astype(compute_dtype)
+        else:
+            noise_c = noise
+        noisy = schedule.add_noise(x0, noise_c, t)
         out = model(params, noisy, t)
-        err = (out - noise).astype(jnp.float32) ** 2
+        err = (out.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2
         if loss_type == "mse":  # ddpm_prune.py:101
             return jnp.mean(err)
         if loss_type == "sum":  # ddpm_exp functions/losses.py:14-15
@@ -75,6 +88,7 @@ def accumulate_taylor_grads(
     loss_type: str = "mse",
     accumulate_abs: bool = False,
     verbose: bool = False,
+    dtype: Optional[str] = None,
 ) -> SweepResult:
     """Host-driven variant: jit the per-step grad, loop + break on host.
 
@@ -82,7 +96,8 @@ def accumulate_taylor_grads(
     sum — the vendored AbsTaylorImportance's accumulation mode
     (ddpm_exp/torch_pruning/pruner/importance.py:553-670)."""
     T = schedule.num_train_timesteps if max_steps is None else max_steps
-    loss_fn = make_loss_fn(model, schedule, loss_type)
+    loss_fn = make_loss_fn(model, schedule, loss_type,
+                           jnp.dtype(dtype) if dtype else None)
 
     @jax.jit
     def step(params, grads, k):
@@ -119,34 +134,66 @@ def accumulate_taylor_grads_scan(
     thr: Optional[float] = 0.05,
     max_steps: Optional[int] = None,
     loss_type: str = "mse",
+    dtype: Optional[str] = None,
 ) -> SweepResult:
-    """Single-jit variant: the whole early-exit sweep as lax.while_loop."""
+    """Single-jit variant: the whole early-exit sweep as lax.while_loop.
+
+    ``dtype='bfloat16'`` casts params/inputs to bf16 for the fwd/bwd (grads
+    and the early-exit loss ratio stay f32). NOTE: measured SLOWER than the
+    default on v5e (117 vs 65 ms for a bare step) — this platform's default
+    matmul precision already runs the MXU bf16 path on f32 arrays, and the
+    explicit casts only add memory traffic. Kept for parity experiments."""
     T = schedule.num_train_timesteps if max_steps is None else max_steps
-    loss_fn = make_loss_fn(model, schedule, loss_type)
-    thr_v = -1.0 if thr is None else float(thr)
-
-    def cond(carry):
-        k, _, _, done, _ = carry
-        return jnp.logical_and(k < T, jnp.logical_not(done))
-
-    def body(carry):
-        k, grads, loss_max, done, losses = carry
-        t = jnp.full((x0.shape[0],), k, dtype=jnp.int32)
-        loss, g = jax.value_and_grad(loss_fn)(params, x0, noise, t)
-        grads = jax.tree.map(jnp.add, grads, g)
-        loss_max = jnp.maximum(loss_max, loss)
-        # reference order: accumulate, update max, then test (ddpm_prune.py:104-106)
-        done = jnp.logical_and(thr_v >= 0.0, loss < loss_max * thr_v)
-        losses = losses.at[k].set(loss)
-        return k + 1, grads, loss_max, done, losses
-
-    init = (
-        jnp.array(0, jnp.int32),
-        jax.tree.map(jnp.zeros_like, params),
-        jnp.array(0.0, jnp.float32),
-        jnp.array(False),
-        jnp.full((T,), jnp.nan, jnp.float32),
-    )
-    k, grads, _, _, losses = jax.jit(
-        lambda: jax.lax.while_loop(cond, body, init))()
+    fn = _cached_sweep_fn(model, schedule, T, loss_type,
+                          None if dtype is None else str(dtype))
+    thr_v = jnp.float32(-1.0 if thr is None else float(thr))
+    k, grads, losses = fn(params, x0, noise, thr_v)
     return SweepResult(grads, losses, int(k))
+
+
+_SWEEP_CACHE: dict = {}
+
+
+def _cached_sweep_fn(model, schedule: DiffusionSchedule, T: int,
+                     loss_type: str, dtype: Optional[str]):
+    """Build (and cache) the jitted whole-sweep program. params/x0/noise are
+    ARGUMENTS, not closure constants: a closed-over 143MB param pytree gets
+    embedded as literals in a fresh jaxpr per call, which defeats jit's
+    cache and re-stages the constants every invocation (measured 128 ms/step
+    vs 56 ms/step for the same while_loop with proper arguments on v5e)."""
+    key = (id(model), id(schedule), T, loss_type, dtype)
+    if key in _SWEEP_CACHE:
+        return _SWEEP_CACHE[key]
+    loss_fn = make_loss_fn(model, schedule, loss_type,
+                           jnp.dtype(dtype) if dtype else None)
+
+    @jax.jit
+    def sweep(params, x0, noise, thr_v):
+        def cond(carry):
+            k, _, _, done, _ = carry
+            return jnp.logical_and(k < T, jnp.logical_not(done))
+
+        def body(carry):
+            k, grads, loss_max, done, losses = carry
+            t = jnp.full((x0.shape[0],), k, dtype=jnp.int32)
+            loss, g = jax.value_and_grad(loss_fn)(params, x0, noise, t)
+            grads = jax.tree.map(jnp.add, grads, g)
+            loss_max = jnp.maximum(loss_max, loss)
+            # reference order: accumulate, update max, then test
+            # (ddpm_prune.py:104-106)
+            done = jnp.logical_and(thr_v >= 0.0, loss < loss_max * thr_v)
+            losses = losses.at[k].set(loss)
+            return k + 1, grads, loss_max, done, losses
+
+        init = (
+            jnp.array(0, jnp.int32),
+            jax.tree.map(jnp.zeros_like, params),
+            jnp.array(0.0, jnp.float32),
+            jnp.array(False),
+            jnp.full((T,), jnp.nan, jnp.float32),
+        )
+        k, grads, _, _, losses = jax.lax.while_loop(cond, body, init)
+        return k, grads, losses
+
+    _SWEEP_CACHE[key] = sweep
+    return sweep

@@ -98,14 +98,19 @@ class LatentDiffusion:
     def make_cfg_sampler(self, params, *, ddim_steps: int = 20,
                          guidance_scale: float = 3.0, eta: float = 0.0,
                          latent_hw: int = 64, latent_ch: int = 3,
-                         mesh=None, data_axis: str = "data"):
-        """Jitted class-conditional CFG DDIM sampler over latents.
+                         mesh=None, data_axis: str = "data",
+                         method: str = "ddim"):
+        """Jitted class-conditional CFG sampler over latents.
 
         Batches cond+uncond through one UNet call (x_in = cat([x]*2),
         ldm/models/diffusion/ddim.py:188-192). With ``mesh``, the batch is
         sharded over the mesh's data axis (params replicated) — the SPMD
         equivalent of sample_for_FID.py's per-process fan-out.
+        ``method='plms'`` selects the PLMS multistep sampler
+        (ldm/models/diffusion/plms.py; requires eta == 0).
         """
+        if method == "plms" and eta != 0.0:
+            raise ValueError("PLMS requires eta == 0 (plms.py:49)")
         ts = compvis_ddim_timesteps(ddim_steps, self.schedule.num_train_timesteps)
         prev = ddim_prev_timesteps(ts)
         ts_j, prev_j = jnp.asarray(ts, jnp.int32), jnp.asarray(prev, jnp.int32)
@@ -133,6 +138,19 @@ class LatentDiffusion:
             x = jax.random.normal(ik, (batch_size, latent_hw, latent_hw, latent_ch))
             if mesh is not None:
                 x = jax.lax.with_sharding_constraint(x, data_sh)
+
+            if method == "plms":
+                from ..schedulers.plms import plms_sample
+
+                def eps_fn(x, t):
+                    tb = jnp.full((2 * batch_size,), t, jnp.int32)
+                    x2 = jnp.concatenate([x, x], axis=0)
+                    eps2 = self.apply_unet(params["unet"], x2, tb, ctx)
+                    e_u, e_c = jnp.split(eps2, 2, axis=0)
+                    return e_u + guidance_scale * (e_c - e_u)
+
+                return plms_sample(eps_fn, self.schedule, x, ts_j, prev_j,
+                                   clip_sample=False)
 
             def step(carry, inp):
                 x, key = carry

@@ -83,3 +83,81 @@ def group_lasso_grads(graph: ChannelGraph, params, grads, *,
             set_path(new_grads, ref.param,
                      g + (reg * scale_b * wslice).astype(g.dtype))
     return new_grads
+
+
+def _per_channel_taylor(graph: ChannelGraph, params, grads) -> Dict[str, jnp.ndarray]:
+    """Per-channel sum of |w * dw| across every non-bias ref of each var —
+    TaylorPruner.regularize's group importance (taylor_pruner.py:63-119)."""
+    out = {}
+    for v in graph.prunable_vars():
+        acc = jnp.zeros((v.size,))
+        for ref, off in graph.refs_of(v):
+            if ref.role == "bias":
+                continue
+            w = jnp.moveaxis(get_path(params, ref.param), ref.axis, 0)
+            g = jnp.moveaxis(get_path(grads, ref.param), ref.axis, 0)
+            w = jax.lax.dynamic_slice_in_dim(w, off, v.size, axis=0)
+            g = jax.lax.dynamic_slice_in_dim(g, off, v.size, axis=0)
+            wg = (w.astype(jnp.float32) * g.astype(jnp.float32)).reshape(v.size, -1)
+            acc = acc + jnp.abs(wg).sum(axis=1)
+        out[v.name] = acc
+    return out
+
+
+def _scaled_decay_grads(graph: ChannelGraph, params, grads,
+                        per_var_scores: Dict[str, jnp.ndarray], *,
+                        reg: float, base: float, roles) -> dict:
+    """grad += reg * base^((max-s)/(max-min)) * w on every ref whose role is
+    in ``roles`` — the shared update of the reference's regularizing pruners
+    (taylor_pruner.py:124-145, scaling_factor_pruner.py:76-89)."""
+    from .surgery import set_path
+
+    new_grads = jax.tree.map(lambda g: g, grads)
+    for v in graph.prunable_vars():
+        s = per_var_scores[v.name]
+        span = jnp.maximum(s.max() - s.min(), 1e-12)
+        scale = base ** ((s.max() - s) / span)
+        for ref, off in graph.refs_of(v):
+            if ref.role not in roles:
+                continue
+            w = get_path(params, ref.param)
+            g = get_path(new_grads, ref.param)
+            sh = [1] * w.ndim
+            sh[ref.axis] = v.size
+            pad_cfg = [(0, 0)] * w.ndim
+            pad_cfg[ref.axis] = (off, w.shape[ref.axis] - off - v.size)
+            scale_b = jnp.pad(scale.reshape(sh), pad_cfg)
+            set_path(new_grads, ref.param,
+                     g + (reg * scale_b * jnp.where(scale_b > 0, w, 0.0)).astype(g.dtype))
+    return new_grads
+
+
+def taylor_scaled_grads(graph: ChannelGraph, params, grads, *,
+                        reg: float = 1e-4, base: float = 16.0) -> dict:
+    """TaylorPruner.regularize (taylor_pruner.py:54-145): weight decay
+    scaled by base^((imp_max - imp)/(imp_max - imp_min)) where imp is the
+    group's per-channel Σ|w·dw| — decays the channels Taylor deems weak."""
+    scores = _per_channel_taylor(graph, params, grads)
+    return _scaled_decay_grads(graph, params, grads, scores, reg=reg,
+                               base=base, roles=("out", "in", "norm"))
+
+
+def scaling_factor_grads(graph: ChannelGraph, params, grads, *,
+                         reg: float = 1e-4, base: float = 16.0) -> dict:
+    """ScalingFactorPruner.regularize (scaling_factor_pruner.py:51-89):
+    group norm = sqrt(Σ γ²) over the var's norm scales; only the norm
+    scales receive the scaled decay."""
+    out = {}
+    for v in graph.prunable_vars():
+        sq = jnp.zeros((v.size,))
+        found = False
+        for ref, off in graph.refs_of(v):
+            if ref.role != "norm":
+                continue
+            found = True
+            g = jnp.moveaxis(get_path(params, ref.param), ref.axis, 0)
+            g = jax.lax.dynamic_slice_in_dim(g, off, v.size, axis=0)
+            sq = sq + (g.astype(jnp.float32).reshape(v.size, -1) ** 2).sum(axis=1)
+        out[v.name] = jnp.sqrt(sq) if found else jnp.ones((v.size,))
+    return _scaled_decay_grads(graph, params, grads, out, reg=reg, base=base,
+                               roles=("norm",))

@@ -20,6 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..schedulers.ddim import ddim_prev_timesteps, ddim_step, ddim_timesteps, ddpm_step
 from ..schedulers.ddpm import DiffusionSchedule
+from ..schedulers.plms import plms_sample
 
 
 @dataclasses.dataclass
@@ -29,7 +30,7 @@ class SamplerConfig:
     style: str = "diffusers"  # timestep-sequence family; 'ddim_exp' for paper runs
     eta: float = 0.0
     clip_sample: bool = True  # DDIMScheduler default for DDPM checkpoints
-    kind: str = "ddim"  # 'ddim' | 'ddpm'
+    kind: str = "ddim"  # 'ddim' | 'ddpm' | 'plms' (ldm_exp plms.py)
     diffusers_stride: bool = False  # root-pipeline prev-step quirk (scheduling_ddim.py:312)
     # Model compute dtype. bf16 runs the UNet's convs/matmuls as native-MXU
     # bf16 (the TPU fast path); the DDIM update itself always runs in f32
@@ -75,6 +76,17 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
             x = jax.lax.with_sharding_constraint(x, data_sh)
             if labels is not None:
                 labels = jax.lax.with_sharding_constraint(labels, data_sh)
+
+        if cfg.kind == "plms":
+            def eps_fn(x, t):
+                tb = jnp.full((batch_size,), t, jnp.int32)
+                xm = x.astype(compute_dtype)
+                return (model(params, xm, tb, labels) if labels is not None
+                        else model(params, xm, tb))
+
+            x = plms_sample(eps_fn, schedule, x, ts_j, prev_j,
+                            clip_sample=cfg.clip_sample)
+            return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
 
         def step(carry, inp):
             x, key = carry

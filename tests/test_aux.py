@@ -149,3 +149,43 @@ def test_ddim_original_converter_roundtrip():
     for k in fa:
         np.testing.assert_allclose(np.asarray(fa[k]), np.asarray(fb[k]),
                                    err_msg=k)
+
+
+def test_taylor_scaled_regularizer(tiny):
+    from diff_pruning_tpu.pruning.regularize import taylor_scaled_grads
+
+    _, m, p = tiny
+    ones_grads = jax.tree.map(jnp.ones_like, p)
+    g = taylor_scaled_grads(m.graph, p, ones_grads, reg=1e-2)
+    # decay added on top of the incoming grads
+    delta = sum(float(jnp.abs(a - b).sum())
+                for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(ones_grads)))
+    assert delta > 0
+    # weak channels (low |w·g|) must receive LARGER decay scale: zero a
+    # channel's weights -> its score is minimal -> scale is base**1 (max)
+    # sanity via shapes only here; the scale ordering is covered by
+    # group_lasso's shared codepath
+
+
+def test_scaling_factor_regularizer(tiny):
+    from diff_pruning_tpu.pruning.regularize import scaling_factor_grads
+    from diff_pruning_tpu.pruning.surgery import get_path
+
+    _, m, p = tiny
+    zero_grads = jax.tree.map(jnp.zeros_like, p)
+    g = scaling_factor_grads(m.graph, p, zero_grads, reg=1e-2)
+    # ONLY norm-scale refs receive decay (scaling_factor_pruner.py:76-89)
+    norm_params = {r.param for r in m.graph.refs if r.role == "norm"}
+    for ref in m.graph.refs:
+        arr = np.asarray(get_path(g, ref.param))
+        if ref.param in norm_params:
+            assert np.abs(arr).sum() > 0, ref.param
+    nonnorm_delta = 0.0
+    flat_g = dict()
+    from diff_pruning_tpu.pruning.surgery import flatten_params
+
+    fg = flatten_params(g)
+    for k, v in fg.items():
+        if k not in norm_params:
+            nonnorm_delta += float(jnp.abs(v).sum())
+    assert nonnorm_delta == 0.0
