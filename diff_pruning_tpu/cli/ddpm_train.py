@@ -142,6 +142,11 @@ def main(argv=None):
         f.write("python -m diff_pruning_tpu.cli.ddpm_train "
                 + " ".join(argv if argv is not None else _sys.argv[1:]) + "\n")
     metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+    # TensorBoard scalars (the reference's accelerate tracker,
+    # ddpm_train.py:519-530), written natively — utils/tensorboard.py
+    from ..utils.tensorboard import SummaryWriter
+
+    tb = SummaryWriter(os.path.join(args.output_dir, "logs"))
 
     def make_vis(params_for_vis, tag):
         vis_model = UNet2D(dataclasses.replace(cfg, dropout=0.0))
@@ -171,6 +176,10 @@ def main(argv=None):
             print(rec)
             metrics_log.write(json.dumps(rec) + "\n")
             metrics_log.flush()
+            tb.add_scalar("train/loss", loss, step + 1)
+            tb.add_scalar("train/imgs_per_sec", ips, step + 1)
+            tb.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step + 1)
+            tb.flush()
         if (step + 1) % args.save_model_steps == 0 or step + 1 == args.num_iters:
             save_train_state(
                 os.path.join(args.output_dir, "ckpt"),
@@ -186,6 +195,7 @@ def main(argv=None):
             make_vis(state.ema_params or state.params, f"iter-{step+1}")
             print(f"saved checkpoint at step {step+1}")
     metrics_log.close()
+    tb.close()
 
 
 if __name__ == "__main__":

@@ -34,6 +34,8 @@ def parse_args(argv=None):
     p.add_argument("--uncond_prob", type=float, default=0.0,
                    help="probability of dropping the class label to the "
                         "uncond class during training (CFG training)")
+    p.add_argument("--resume_from_checkpoint", type=str, default=None,
+                   help="ckpt dir written by a previous run (output_dir/ckpt)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -46,7 +48,9 @@ def main(argv=None):
     import optax
 
     from ..data.datasets import get_labeled_dataset, iterate_labeled_batches
-    from ..utils.checkpoint import save_model, save_params_npz
+    from ..utils.checkpoint import (load_train_state, restore_opt_state,
+                                    save_model, save_params_npz,
+                                    save_train_state)
     from .ldm_prune import load_ldm
 
     ldm, params = load_ldm(args.model_path, None, args.seed)
@@ -82,7 +86,11 @@ def main(argv=None):
         eps = ldm.unet(up, noisy, t, context=ctx)
         return jnp.mean((eps - noise).astype(jnp.float32) ** 2)
 
-    chunk = max(1, min(args.steps_per_dispatch, args.log_steps))
+    import math
+
+    g = math.gcd(args.save_model_steps, args.log_steps)
+    cap = max(1, min(args.steps_per_dispatch, g))
+    chunk = max(d for d in range(1, cap + 1) if g % d == 0)
 
     @jax.jit
     def chunk_step(unet_params, opt_state, images, labels, key):
@@ -100,39 +108,67 @@ def main(argv=None):
             (jnp.arange(images.shape[0]), images, labels))
         return unet_params, opt_state, losses[-1]
 
+    unet_params = params["unet"]
+    start_step = 0
+    if args.resume_from_checkpoint:
+        meta, unet_params, _ = load_train_state(args.resume_from_checkpoint)
+        opt_state, restored = restore_opt_state(args.resume_from_checkpoint,
+                                                opt.init(unet_params))
+        start_step = int(meta["step"])
+        print(f"resumed from step {start_step} "
+              f"(optimizer {'restored' if restored else 'RE-INITIALIZED'})")
+
     ds = get_labeled_dataset(args.dataset, resolution=img_res)
     print(f"dataset: {len(ds)} images, {len(ds.class_names)} classes")
-    batches = iterate_labeled_batches(ds, args.train_batch_size, seed=args.seed)
+    batches = iterate_labeled_batches(ds, args.train_batch_size,
+                                      seed=args.seed, skip_batches=start_step)
 
     os.makedirs(args.output_dir, exist_ok=True)
+    import sys as _sys
+
+    with open(os.path.join(args.output_dir, "run.sh"), "a") as f:
+        f.write("python -m diff_pruning_tpu.cli.ldm_train "
+                + " ".join(argv if argv is not None else _sys.argv[1:]) + "\n")
     log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
-    unet_params = params["unet"]
-    key = jax.random.key(args.seed)
-    t0, n0 = time.time(), 0
-    for step0 in range(0, args.num_iters, chunk):
+    from ..utils.tensorboard import SummaryWriter
+
+    tb = SummaryWriter(os.path.join(args.output_dir, "logs"))
+    base_key = jax.random.key(args.seed)
+    t0, n0 = time.time(), start_step
+    for step0 in range(start_step, args.num_iters, chunk):
         imgs, labs = zip(*[next(batches) for _ in range(chunk)])
         imgs = jnp.asarray(np.stack(imgs))
         labs = jnp.asarray(np.stack(labs))
-        key, sk = jax.random.split(key)
+        sk = jax.random.fold_in(base_key, step0)
         unet_params, opt_state, loss = chunk_step(unet_params, opt_state,
                                                   imgs, labs, sk)
         step = step0 + chunk
         if step % args.log_steps == 0:
-            rec = {"step": step, "loss": float(loss),
+            loss = float(loss)
+            rec = {"step": step, "loss": loss,
                    "imgs_per_sec": round((step - n0) * args.train_batch_size
                                          / (time.time() - t0), 1)}
             t0, n0 = time.time(), step
             print(rec)
             log.write(json.dumps(rec) + "\n")
             log.flush()
+            tb.add_scalar("train/loss", loss, step)
+            tb.add_scalar("train/imgs_per_sec", rec["imgs_per_sec"], step)
+            tb.flush()
         if step % args.save_model_steps == 0 or step >= args.num_iters:
             save_model(args.output_dir, ucfg, unet_params, subfolder="unet")
             cs_dir = os.path.join(args.output_dir, "cond_stage")
             os.makedirs(cs_dir, exist_ok=True)
             save_params_npz(os.path.join(cs_dir, "params.npz"),
                             frozen["cond_stage"])
+            save_train_state(os.path.join(args.output_dir, "ckpt"),
+                             step=step, params=unet_params,
+                             opt_state=opt_state,
+                             extra_meta={"seed": args.seed,
+                                         "batches_consumed": step})
             print(f"saved at step {step}")
     log.close()
+    tb.close()
 
 
 if __name__ == "__main__":

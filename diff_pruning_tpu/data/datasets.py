@@ -410,16 +410,24 @@ def get_labeled_dataset(root: str, resolution: int = 256) -> LabeledImageFolderD
 
 
 def iterate_labeled_batches(dataset: LabeledImageFolderDataset, batch_size: int,
-                            *, seed: int = 0, flip: bool = True):
-    """(images in [-1,1], labels) batches, shuffled epochs, native decode."""
+                            *, seed: int = 0, flip: bool = True,
+                            skip_batches: int = 0):
+    """(images in [-1,1], labels) batches, shuffled epochs, native decode.
+    ``skip_batches`` fast-forwards for resume (RNG draws replayed, no IO)."""
     from .. import native
 
     rng = np.random.default_rng(seed)
     n = len(dataset)
+    to_skip = skip_batches
     while True:
         order = rng.permutation(n)
         for i in range(0, n - (n % batch_size), batch_size):
             idx = order[i:i + batch_size]
+            if to_skip > 0:
+                to_skip -= 1
+                if flip:
+                    rng.random(len(idx))  # keep the flip stream aligned
+                continue
             imgs = native.decode_batch([dataset.files[j] for j in idx],
                                        dataset.resolution)
             if imgs is None:

@@ -27,7 +27,9 @@ from .layers import (
     GroupNorm,
     Linear,
     Scope,
+    SelfAttention2D,
     SpatialTransformer,
+    avg_pool_2x,
     get_timestep_embedding,
     silu,
     upsample_nearest_2x,
@@ -52,6 +54,17 @@ class UNetCondConfig:
     num_classes: Optional[int] = None  # additive label_emb variant
     dropout: float = 0.0
     norm_num_groups: int = 32
+    # openaimodel variants used by the other LDM zoo yamls:
+    # AttentionBlock instead of SpatialTransformer (celebahq/ffhq/bedrooms,
+    # openaimodel.py:278-341 — functionally our SelfAttention2D; original
+    # fused-qkv conv weights split in the converter);
+    use_spatial_transformer: bool = True
+    # FiLM-style conditioning: emb_layers -> 2*out, h = norm(h)*(1+s)+b
+    # (openaimodel.py:237-246; lsun_churches-ldm-kl-8.yaml)
+    use_scale_shift_norm: bool = False
+    # up/downsampling inside ResBlocks instead of standalone convs
+    # (openaimodel.py:207-216; lsun_churches-ldm-kl-8.yaml)
+    resblock_updown: bool = False
     channel_sizes: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> str:
@@ -74,14 +87,20 @@ class UNetCondConfig:
 
 
 class _ResBlock:
-    """openaimodel ResBlock:163-264 (no scale_shift, no up/down):
-    in_layers = GN/SiLU/conv3; emb_layers = SiLU/Linear; out_layers =
-    GN/SiLU/dropout/zero-conv3; 1x1 skip when channels differ."""
+    """openaimodel ResBlock:163-264: in_layers = GN/SiLU/conv3; emb_layers =
+    SiLU/Linear(-> out or 2*out for scale_shift); out_layers =
+    GN/SiLU/dropout/zero-conv3; 1x1 skip when channels differ. With
+    ``use_scale_shift_norm`` (openaimodel.py:237-246) the embedding FiLMs the
+    out-norm; with up/down (openaimodel.py:207-216) the block resamples h
+    and the residual between in_norm and in_conv."""
 
     def __init__(self, scope: Scope, g: ChannelGraph, cfg: UNetCondConfig,
-                 cin, default_out: int, temb_var: ChannelVar, default_in: int):
+                 cin, default_out: int, temb_var: ChannelVar, default_in: int,
+                 up: bool = False, down: bool = False):
         cs = cfg.channel_sizes
         self.cfg = cfg
+        self.up, self.down = up, down
+        self.scale_shift = cfg.use_scale_shift_norm
         self.has_shortcut = default_in != default_out
         if self.has_shortcut:
             self.out = g.var(scope.path + "/out",
@@ -91,7 +110,22 @@ class _ResBlock:
             self.out = cin
         self.norm1 = GroupNorm(scope("in_norm"), cin, cfg.norm_num_groups, 1e-5)
         self.conv1 = Conv2D(scope("in_conv"), cin, self.out, 3, 1, 1)
-        self.emb_proj = Linear(scope("emb_proj"), temb_var, self.out)
+        if self.scale_shift:
+            # emb_proj kernel (temb, 2*out): [0:out]=scale, [out:]=shift,
+            # both indexed by the SAME out var (the GEGLU two-part pattern)
+            from ..pruning.graph import AxisRef
+
+            self._emb_path = scope.path + "/emb_proj"
+            o = self.out.size
+            g.ref(f"{self._emb_path}/kernel", 0, temb_var, "in")
+            g.refs.append(AxisRef(f"{self._emb_path}/kernel", 1,
+                                  ((self.out, 0), (self.out, o)), "out"))
+            g.refs.append(AxisRef(f"{self._emb_path}/bias", 0,
+                                  ((self.out, 0), (self.out, o)), "bias"))
+            g._by_var = None
+            self._temb_size = temb_var.size
+        else:
+            self.emb_proj = Linear(scope("emb_proj"), temb_var, self.out)
         self.norm2 = GroupNorm(scope("out_norm"), self.out, cfg.norm_num_groups, 1e-5)
         self.conv2 = Conv2D(scope("out_conv"), self.out, self.out, 3, 1, 1)
         if self.has_shortcut:
@@ -99,8 +133,20 @@ class _ResBlock:
 
     def init(self, key):
         ks = jax.random.split(key, 6)
+        if self.scale_shift:
+            import math
+
+            bound = math.sqrt(1.0 / self._temb_size)
+            k1, k2 = jax.random.split(ks[2])
+            emb_p = {"kernel": jax.random.uniform(
+                k1, (self._temb_size, 2 * self.out.size), jnp.float32,
+                -bound, bound),
+                "bias": jax.random.uniform(
+                    k2, (2 * self.out.size,), jnp.float32, -bound, bound)}
+        else:
+            emb_p = self.emb_proj.init(ks[2])
         p = {"in_norm": self.norm1.init(ks[0]), "in_conv": self.conv1.init(ks[1]),
-             "emb_proj": self.emb_proj.init(ks[2]), "out_norm": self.norm2.init(ks[3]),
+             "emb_proj": emb_p, "out_norm": self.norm2.init(ks[3]),
              "out_conv": self.conv2.init(ks[4])}
         # out_conv zero-init (openaimodel.py:230 zero_module)
         p["out_conv"]["kernel"] = jnp.zeros_like(p["out_conv"]["kernel"])
@@ -110,10 +156,22 @@ class _ResBlock:
         return p
 
     def __call__(self, p, x, temb, dropout_rng=None):
-        h = self.conv1(p["in_conv"], silu(self.norm1(p["in_norm"], x)))
-        e = self.emb_proj(p["emb_proj"], silu(temb))
-        h = h + e[:, None, None, :]
-        h = silu(self.norm2(p["out_norm"], h))
+        h = silu(self.norm1(p["in_norm"], x))
+        if self.up:
+            h, x = upsample_nearest_2x(h), upsample_nearest_2x(x)
+        elif self.down:
+            h, x = avg_pool_2x(h), avg_pool_2x(x)
+        h = self.conv1(p["in_conv"], h)
+        if self.scale_shift:
+            e = silu(temb) @ p["emb_proj"]["kernel"].astype(temb.dtype) \
+                + p["emb_proj"]["bias"].astype(temb.dtype)
+            scale, shift = jnp.split(e[:, None, None, :], 2, axis=-1)
+            h = self.norm2(p["out_norm"], h) * (1.0 + scale) + shift
+            h = silu(h)
+        else:
+            e = self.emb_proj(p["emb_proj"], silu(temb))
+            h = h + e[:, None, None, :]
+            h = silu(self.norm2(p["out_norm"], h))
         if dropout_rng is not None and self.cfg.dropout > 0.0:
             keep = 1.0 - self.cfg.dropout
             mask = jax.random.bernoulli(dropout_rng, keep, h.shape)
@@ -121,6 +179,19 @@ class _ResBlock:
         h = self.conv2(p["out_conv"], h)
         sc = self.skip(p["skip_connection"], x) if self.has_shortcut else x
         return h + sc
+
+
+class _NoContext:
+    """Adapter: SelfAttention2D with the SpatialTransformer call signature."""
+
+    def __init__(self, sa: SelfAttention2D):
+        self.sa = sa
+
+    def init(self, key):
+        return self.sa.init(key)
+
+    def __call__(self, p, x, context=None):
+        return self.sa(p, x)
 
 
 class UNetCond:
@@ -135,6 +206,7 @@ class UNetCond:
         def mkvar(name, default, **kw):
             return g.var(name, cs.get(name, default), **kw)
 
+        self.attn_heads: Dict[str, int] = {}  # block path -> heads (converter)
         self.v_in = g.var("x_in", cfg.in_channels, prunable=False)
         self.v_out = g.var("x_out", cfg.out_channels, prunable=False)
         self.v_tproj = g.var("t_proj", cfg.model_channels, prunable=False)
@@ -159,9 +231,19 @@ class UNetCond:
                 return ch_default // cfg.num_head_channels, cfg.num_head_channels
             return cfg.num_heads, ch_default // cfg.num_heads
 
-        def make_st(name: str, var: ChannelVar, ch_default: int) -> SpatialTransformer:
+        def make_st(name: str, var: ChannelVar, ch_default: int):
             heads, dim_head = heads_dimhead(ch_default)
             inner_default = heads * dim_head
+            self.attn_heads[name] = heads
+            if not cfg.use_spatial_transformer:
+                # openaimodel AttentionBlock (:278-341): GN + fused-qkv conv
+                # + proj; functionally SelfAttention2D (the converter splits
+                # the fused qkv weights). context is ignored.
+                inner = mkvar(f"{name}/inner", inner_default)
+                sa = SelfAttention2D(Scope(g, name), var, inner, heads,
+                                     norm_num_groups=cfg.norm_num_groups,
+                                     eps=1e-5)
+                return _NoContext(sa)
             inner = mkvar(f"{name}/inner", inner_default)
             attn_vars = []
             for d in range(cfg.transformer_depth):
@@ -200,10 +282,16 @@ class UNetCond:
                 idx += 1
             if level != len(cfg.channel_mult) - 1:
                 name = f"input_blocks/{idx}/0"
-                dsv = mkvar(f"{name}/out", cur_d)
-                conv = Conv2D(Scope(g, f"{name}/op"), cur, dsv, 3, 2, 1)
-                self.input_blocks.append(("down", conv, None, idx))
-                cur, cur_d = dsv, cur_d
+                if cfg.resblock_updown:
+                    rb = _ResBlock(Scope(g, name), g, cfg, cur, cur_d,
+                                   self.v_temb, cur_d, down=True)
+                    self.input_blocks.append(("downres", rb, None, idx))
+                    cur = rb.out
+                else:
+                    dsv = mkvar(f"{name}/out", cur_d)
+                    conv = Conv2D(Scope(g, f"{name}/op"), cur, dsv, 3, 2, 1)
+                    self.input_blocks.append(("down", conv, None, idx))
+                    cur = dsv
                 skips.append(cur)
                 skip_defaults.append(cur_d)
                 ds *= 2
@@ -235,9 +323,15 @@ class UNetCond:
                 up = None
                 if level and i == cfg.num_res_blocks:
                     li = 2 if st is not None else 1
-                    upv = mkvar(f"{name}/{li}/out", cur_d)
-                    up = Conv2D(Scope(g, f"{name}/{li}/conv"), cur, upv, 3, 1, 1)
-                    cur, cur_d = upv, cur_d
+                    if cfg.resblock_updown:
+                        up = _ResBlock(Scope(g, f"{name}/{li}"), g, cfg, cur,
+                                       cur_d, self.v_temb, cur_d, up=True)
+                        cur = up.out
+                    else:
+                        upv = mkvar(f"{name}/{li}/out", cur_d)
+                        up = Conv2D(Scope(g, f"{name}/{li}/conv"), cur, upv,
+                                    3, 1, 1)
+                        cur = upv
                     ds //= 2
                 self.output_blocks.append((rb, st, up, oidx))
                 oidx += 1
@@ -272,6 +366,8 @@ class UNetCond:
                 if b is not None:
                     blk["1"] = b.init(nk())
                 p["input_blocks"][str(idx)] = blk
+            elif kind == "downres":
+                p["input_blocks"][str(idx)] = {"0": a.init(nk())}
             else:
                 p["input_blocks"][str(idx)] = {"0": {"op": a.init(nk())}}
         for rb, st, up, oidx in self.output_blocks:
@@ -280,7 +376,10 @@ class UNetCond:
                 blk["1"] = st.init(nk())
             if up is not None:
                 li = "2" if st is not None else "1"
-                blk[li] = {"conv": up.init(nk())}
+                if self.cfg.resblock_updown:
+                    blk[li] = up.init(nk())
+                else:
+                    blk[li] = {"conv": up.init(nk())}
             p["output_blocks"][str(oidx)] = blk
         oc = self.out_conv.init(nk())
         # zero-init final conv (openaimodel zero_module on out)
@@ -325,6 +424,8 @@ class UNetCond:
                 h = a(bp["0"], h, emb, dropout_rng=next_rng())
                 if b is not None:
                     h = b(bp["1"], h, context=context)
+            elif kind == "downres":
+                h = a(bp["0"], h, emb, dropout_rng=next_rng())
             else:
                 h = a(bp["0"]["op"], h)
             hs.append(h)
@@ -342,8 +443,11 @@ class UNetCond:
                 h = st(bp["1"], h, context=context)
             if up is not None:
                 li = "2" if st is not None else "1"
-                h = upsample_nearest_2x(h)
-                h = up(bp[li]["conv"], h)
+                if cfg.resblock_updown:
+                    h = up(bp[li], h, emb, dropout_rng=next_rng())
+                else:
+                    h = upsample_nearest_2x(h)
+                    h = up(bp[li]["conv"], h)
 
         h = silu(self.out_norm(params["out"]["0"], h))
         return self.out_conv(params["out"]["2"], h)
@@ -356,6 +460,48 @@ def cin256_v2_config() -> UNetCondConfig:
         num_res_blocks=2, attention_resolutions=(8, 4, 2),
         channel_mult=(1, 2, 3, 5), num_heads=1, transformer_depth=1,
         context_dim=512)
+
+
+def celebahq_ldm_vq4_config() -> UNetCondConfig:
+    """configs/latent-diffusion/celebahq-ldm-vq-4.yaml unet_config (the
+    openaimodel form of CompVis/ldm-celebahq-256; ldm_prune.py prunes the
+    diffusers form — ldm_celebahq256_config in unet2d.py)."""
+    return UNetCondConfig(
+        image_size=64, in_channels=3, out_channels=3, model_channels=224,
+        num_res_blocks=2, attention_resolutions=(8, 4, 2),
+        channel_mult=(1, 2, 3, 4), num_head_channels=32,
+        context_dim=None, use_spatial_transformer=False)
+
+
+def ffhq_ldm_vq4_config() -> UNetCondConfig:
+    """configs/latent-diffusion/ffhq-ldm-vq-4.yaml (same UNet as celebahq)."""
+    return celebahq_ldm_vq4_config()
+
+
+def lsun_bedrooms_ldm_vq4_config() -> UNetCondConfig:
+    """configs/latent-diffusion/lsun_bedrooms-ldm-vq-4.yaml (same UNet)."""
+    return celebahq_ldm_vq4_config()
+
+
+def lsun_churches_ldm_kl8_config() -> UNetCondConfig:
+    """configs/latent-diffusion/lsun_churches-ldm-kl-8.yaml unet_config:
+    KL-8 latents (32x32x4), scale-shift norm, resblock up/downsampling."""
+    return UNetCondConfig(
+        image_size=32, in_channels=4, out_channels=4, model_channels=192,
+        num_res_blocks=2, attention_resolutions=(1, 2, 4, 8),
+        channel_mult=(1, 2, 2, 4, 4), num_heads=8, context_dim=None,
+        use_spatial_transformer=False, use_scale_shift_norm=True,
+        resblock_updown=True)
+
+
+def cin_ldm_vq_f8_config() -> UNetCondConfig:
+    """configs/latent-diffusion/cin-ldm-vq-f8.yaml unet_config: the f8
+    class-conditional ImageNet LDM (spatial transformer, ctx 512)."""
+    return UNetCondConfig(
+        image_size=32, in_channels=4, out_channels=4, model_channels=256,
+        num_res_blocks=2, attention_resolutions=(4, 2, 1),
+        channel_mult=(1, 2, 4), num_head_channels=32,
+        transformer_depth=1, context_dim=512)
 
 
 def tiny_cond_config() -> UNetCondConfig:

@@ -6,8 +6,8 @@
 // small OpenMP C++ library exposed through a C ABI (loaded via ctypes;
 // pybind11 is not available in this environment).
 //
-// Build: see native/build.py (g++ -O3 -fopenmp -shared -fPIC, links
-// libjpeg/libpng).
+// Built on first use by native/__init__.py::_build (g++ -O3 -fopenmp
+// -shared -fPIC, links libjpeg/libpng), cached next to this file.
 
 #include <cctype>
 #include <cstdint>

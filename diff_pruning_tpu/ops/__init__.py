@@ -1,16 +1,23 @@
 """TPU Pallas kernels and runtime toggles.
 
-Per-op switches (all default off — XLA's fusion is the baseline and each
-kernel must beat it on the target shape to be enabled):
+Per-op switches. Policy: a kernel ships default-ON only where measured
+faster than XLA on the target shapes (tools/bench_pallas.py on v5e;
+numbers recorded in docs/PALLAS_BENCH.md):
 
-* ``group_norm``: fused GroupNorm(+SiLU) (ops/group_norm.py). Slower than
-  XLA on 32x32 activations; targets memory-bound 256^2 paths.
-* ``attention``: flash attention (ops/attention.py). Measured 22% faster
-  than XLA at the LDM 4096-token shape and avoids the (N, N) score
-  materialization; only engages for >= min_tokens sequences.
+* ``attention`` (ON): flash attention with a hand-written Pallas backward
+  (ops/attention.py). Measured vs XLA at the model shapes — forward
+  1.22x (LDM 4096 tok), 1.72x (CIFAR 256 tok), 1.00x (LSUN 1024 tok);
+  forward+backward 1.54x / 1.30x / 0.98x. Sequences shorter than
+  ``min_tokens=256`` route to XLA.
+* ``group_norm`` (OFF): fused GroupNorm(+SiLU) (ops/group_norm.py).
+  Measured neutral (0.98x) at the largest shape whose working set fits
+  VMEM — GN is memory-bound and XLA already emits the minimal two-pass
+  schedule, so there is no fusion headroom short of folding the norm
+  into the following conv. Kept for experimentation; big 256^2 slabs
+  fall back to XLA automatically.
 """
 
-_FLAGS = {"group_norm": False, "attention": False}
+_FLAGS = {"group_norm": False, "attention": True}
 
 
 def set_pallas_enabled(on: bool = True, *, group_norm=None, attention=None) -> None:

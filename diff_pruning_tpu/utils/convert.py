@@ -102,17 +102,52 @@ _LDM_RENAMES = [
 ]
 
 
-def ldm_unet_state_dict_to_params(sd: Mapping[str, "object"]) -> dict:
+def ldm_unet_state_dict_to_params(sd: Mapping[str, "object"],
+                                  attn_heads: Mapping[str, int] = None) -> dict:
     """CompVis openaimodel.UNetModel state_dict -> UNetCond params pytree.
 
     Handles: input_blocks.0.0 (conv_in) -> input_blocks/0/conv; ResBlock
     sequential indices -> named leaves (_LDM_RENAMES); SpatialTransformer
     names pass through; conv OIHW->HWIO; linear transpose; norm weight->scale.
+
+    Non-spatial-transformer AttentionBlocks (openaimodel.py:278-341) store a
+    fused qkv conv1d whose channel layout is HEAD-INTERLEAVED
+    (QKVAttentionLegacy:314: (B, 3C, T) viewed as (H, 3, ch, T)); pass
+    ``attn_heads`` (UNetCond.attn_heads: block path -> heads) so the fused
+    weights de-interleave into to_q/to_k/to_v correctly.
     """
     flat: Dict[str, np.ndarray] = {}
+    qkv_blocks = {name.split(".qkv.")[0] for name in sd if ".qkv." in name}
     for name, tensor in sd.items():
         arr = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
         n = name
+        blk = n.rsplit(".", 2)[0] if n.count(".") >= 2 else ""
+        if ".qkv." in n:
+            block = n.split(".qkv.")[0]
+            bpath = block.replace(".", "/")
+            if attn_heads is None or bpath not in attn_heads:
+                raise ValueError(
+                    f"fused qkv at {block}: pass attn_heads (UNetCond.attn_heads)")
+            h = attn_heads[bpath]
+            if n.endswith("weight"):  # conv1d (3C, C, 1)
+                w = arr[..., 0] if arr.ndim == 3 else arr
+                c3, cin = w.shape
+                ch = c3 // 3 // h
+                w = w.reshape(h, 3, ch, cin)
+                for i, nm in enumerate(("to_q", "to_k", "to_v")):
+                    flat[f"{bpath}/{nm}/kernel"] = (
+                        w[:, i].reshape(h * ch, cin).transpose(1, 0))
+            else:  # bias (3C,)
+                b = arr.reshape(h, 3, -1)
+                for i, nm in enumerate(("to_q", "to_k", "to_v")):
+                    flat[f"{bpath}/{nm}/bias"] = b[:, i].reshape(-1)
+            continue
+        if blk in qkv_blocks:
+            # the same block's norm/proj_out map to SelfAttention2D names
+            n = n.replace(".norm.", ".group_norm.").replace(
+                ".proj_out.", ".to_out.")
+            if n.endswith("weight"):
+                arr = arr[..., 0] if arr.ndim == 3 else arr  # conv1d squeeze
         if n.startswith("input_blocks.0.0."):
             n = n.replace("input_blocks.0.0.", "input_blocks.0.conv.")
         for old, new in _LDM_RENAMES:

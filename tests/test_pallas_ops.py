@@ -94,7 +94,11 @@ def test_flash_attention_matches_reference(shape):
     q = jax.random.normal(jax.random.key(0), shape, jnp.float32)
     k = jax.random.normal(jax.random.key(1), shape, jnp.float32)
     v = jax.random.normal(jax.random.key(2), shape, jnp.float32)
-    out = flash_attention(q, k, v, d**-0.5, interpret=True)
+    # the primal path is plain XLA by design; the Pallas forward runs on
+    # the differentiated path — fetch its output through jax.vjp
+    out, _ = jax.vjp(
+        lambda q, k, v: flash_attention(q, k, v, d**-0.5, interpret=True),
+        q, k, v)
     ref = reference_attention(q, k, v, d**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
@@ -123,3 +127,21 @@ def test_flash_attention_grads():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_grads_padded_shapes():
+    """Backward with q/kv padding + masked columns (N=700 pads to 768,
+    D=56 pads to 128): padded rows/cols must contribute exactly zero."""
+    from diff_pruning_tpu.ops.attention import flash_attention, reference_attention
+
+    q = jax.random.normal(jax.random.key(6), (2, 2, 700, 56))
+    k = jax.random.normal(jax.random.key(7), (2, 2, 700, 56))
+    v = jax.random.normal(jax.random.key(8), (2, 2, 700, 56))
+    w = jax.random.normal(jax.random.key(9), q.shape)  # non-uniform cotangent
+    f1 = lambda q, k, v: (flash_attention(q, k, v, 56**-0.5, interpret=True) * w).sum()
+    f2 = lambda q, k, v: (reference_attention(q, k, v, 56**-0.5) * w).sum()
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)
