@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..pruning.graph import CatVar, ChannelGraph, ChannelVar, VarLike
+from ..pruning.graph import CatVar, ChannelGraph, ChannelVar, VarLike, _parts_of
 
 
 class Scope:
@@ -500,3 +500,61 @@ class SpatialTransformer:
         h = h.reshape(b, hh, ww, self.inner.size)
         h = self.proj_out(p["proj_out"], h)
         return h + x_in
+
+
+@dataclasses.dataclass
+class BatchNorm:
+    """Inference-form BatchNorm over the channel axis with running stats
+    registered in the graph — the reference's BatchnormPruner slices
+    weight/bias AND running_mean/running_var (function.py:210-233); here all
+    four are AxisRefs on the same var so generic surgery covers them.
+
+    Training-mode batch statistics are out of scope for the diffusion zoo
+    (every reference model normalizes with GN/LN); this exists for library
+    parity and for pruning externally-trained BN models.
+    """
+
+    scope: Scope
+    var: VarLike
+    eps: float = 1e-5
+
+    def __post_init__(self):
+        s = self.scope
+        s.ref("scale", 0, self.var, "norm")
+        s.ref("bias", 0, self.var, "bias")
+        s.ref("running_mean", 0, self.var, "bias")
+        s.ref("running_var", 0, self.var, "bias")
+        self.size = sum(v.size for v, _ in _parts_of(self.var))
+
+    def init(self, key):
+        c = self.size
+        return {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,)),
+                "running_mean": jnp.zeros((c,)), "running_var": jnp.ones((c,))}
+
+    def __call__(self, p, x):
+        xf = x.astype(jnp.float32)
+        inv = jax.lax.rsqrt(p["running_var"].astype(jnp.float32) + self.eps)
+        y = (xf - p["running_mean"].astype(jnp.float32)) * inv
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+@dataclasses.dataclass
+class PReLU:
+    """Per-channel PReLU (the reference's PReLUPruner target,
+    function.py:324-348): alpha registered on the var axis."""
+
+    scope: Scope
+    var: VarLike
+    init_alpha: float = 0.25
+
+    def __post_init__(self):
+        self.scope.ref("alpha", 0, self.var, "norm")
+        self.size = sum(v.size for v, _ in _parts_of(self.var))
+
+    def init(self, key):
+        return {"alpha": jnp.full((self.size,), self.init_alpha)}
+
+    def __call__(self, p, x):
+        a = p["alpha"].astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)

@@ -189,3 +189,24 @@ def test_scaling_factor_regularizer(tiny):
         if k not in norm_params:
             nonnorm_delta += float(jnp.abs(v).sum())
     assert nonnorm_delta == 0.0
+
+
+def test_ckpt_util_local_resolution(tmp_path):
+    """ckpt_util.py port: same cache layout and MD5 verification, fetch
+    replaced by a clear local-placement error (zero-egress)."""
+    from diff_pruning_tpu.utils.ckpt_util import get_ckpt_path, md5_hash
+
+    with pytest.raises(FileNotFoundError, match="no network access"):
+        get_ckpt_path("ema_cifar10", root=str(tmp_path))
+    # place a file -> resolves; church_outdoor alias maps to church
+    p = tmp_path / "ema_diffusion_cifar10_model"
+    os.makedirs(p)
+    (p / "model-790000.ckpt").write_bytes(b"fake")
+    assert get_ckpt_path("ema_cifar10", root=str(tmp_path)).endswith(
+        "model-790000.ckpt")
+    with pytest.raises(ValueError, match="MD5"):
+        get_ckpt_path("ema_cifar10", root=str(tmp_path), check=True)
+    with pytest.raises(KeyError):
+        get_ckpt_path("nope", root=str(tmp_path))
+    assert md5_hash(str(p / "model-790000.ckpt")) == \
+        __import__("hashlib").md5(b"fake").hexdigest()

@@ -266,3 +266,33 @@ def test_global_sparsity_per_var_cap():
     res = prune(g, params, make_importance("magnitude"), sparsity=0.5,
                 global_pruning=True, sparsity_per_var={"a": 0.25})
     assert res.channel_sizes["a"] >= 12  # capped at 25% drop
+
+
+def test_batchnorm_prunes_running_stats():
+    """BatchnormPruner parity (function.py:210-233): pruning a var slices
+    the BN scale/bias AND running_mean/running_var consistently."""
+    from diff_pruning_tpu.models.layers import BatchNorm, Conv2D, PReLU, Scope
+
+    g = ChannelGraph()
+    v_in = g.var("in", 3, prunable=False)
+    v = g.var("mid", 8)
+    s = Scope(g)
+    conv = Conv2D(s("conv"), v_in, v, 3, 1, 1)
+    bn = BatchNorm(s("bn"), v)
+    act = PReLU(s("act"), v)
+    params = {"conv": conv.init(jax.random.key(0)),
+              "bn": bn.init(jax.random.key(1)),
+              "act": act.init(jax.random.key(2))}
+    params["bn"]["running_mean"] = jnp.arange(8.0)
+    params["bn"]["running_var"] = jnp.arange(8.0) + 1.0
+    params["act"]["alpha"] = jnp.arange(8.0) * 0.1
+    out = slice_params(params, g, {"mid": [1, 3, 6]})
+    assert out["conv"]["kernel"].shape[-1] == 3
+    np.testing.assert_array_equal(out["bn"]["running_mean"], [1, 3, 6])
+    np.testing.assert_array_equal(out["bn"]["running_var"], [2, 4, 7])
+    np.testing.assert_allclose(out["act"]["alpha"], [0.1, 0.3, 0.6])
+    # forward still works on the pruned shapes (BN/PReLU apply is
+    # shape-agnostic: it reads sizes from the param arrays)
+    x = jnp.ones((1, 4, 4, 3))
+    y = act(out["act"], bn(out["bn"], conv(out["conv"], x)))
+    assert y.shape == (1, 4, 4, 3)

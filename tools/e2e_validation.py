@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--out", type=str, default="/tmp/e2e")
     ap.add_argument("--ratio", type=float, default=0.3)
+    ap.add_argument("--full", action="store_true",
+                    help="run at the real CIFAR scale (the 35.75M-param "
+                         "ddpm_cifar10 UNet) instead of the 6.47M dev model")
     args = ap.parse_args()
 
     import dataclasses
@@ -65,7 +68,7 @@ def main():
     import jax.numpy as jnp
 
     from diff_pruning_tpu.data.datasets import ArrayDataset, iterate_batches
-    from diff_pruning_tpu.diffpruning.sweep import accumulate_taylor_grads
+    from diff_pruning_tpu.diffpruning.sweep import accumulate_taylor_grads_scan
     from diff_pruning_tpu.eval.ssim import ssim
     from diff_pruning_tpu.models.unet2d import UNet2D, UNet2DConfig
     from diff_pruning_tpu.pruning.flops import count_ops_and_params, count_params
@@ -78,14 +81,19 @@ def main():
         TrainConfig, init_train_state, make_chunked_train_step)
 
     os.makedirs(args.out, exist_ok=True)
-    cfg = UNet2DConfig(
-        sample_size=32,
-        block_out_channels=(64, 128, 128),
-        down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
-        up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"),
-        layers_per_block=2, downsample_padding=0, attention_head_dim=None,
-        norm_num_groups=32, norm_eps=1e-6, freq_shift=1, flip_sin_to_cos=False,
-        dropout=0.1)
+    if args.full:
+        from diff_pruning_tpu.models.unet2d import ddpm_cifar10_config
+
+        cfg = dataclasses.replace(ddpm_cifar10_config(), dropout=0.1)
+    else:
+        cfg = UNet2DConfig(
+            sample_size=32,
+            block_out_channels=(64, 128, 128),
+            down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"),
+            layers_per_block=2, downsample_padding=0, attention_head_dim=None,
+            norm_num_groups=32, norm_eps=1e-6, freq_shift=1,
+            flip_sin_to_cos=False, dropout=0.1)
     model = UNet2D(cfg)
     params = model.init(jax.random.key(0))
     sched = DiffusionSchedule.create()
@@ -122,8 +130,10 @@ def main():
     # 2. sweep grads on the trained model
     x0 = jnp.asarray(next(batches))
     noise = jax.random.normal(jax.random.key(2), x0.shape)
-    res = accumulate_taylor_grads(eval_model, trained, sched, x0, noise,
-                                  thr=0.05)
+    # single on-device while_loop: a host-driven sweep pays seconds of
+    # dispatch latency PER TIMESTEP behind the chip tunnel
+    res = accumulate_taylor_grads_scan(eval_model, trained, sched, x0, noise,
+                                       thr=0.05)
     print(f"diff-pruning sweep: stopped after {res.steps_run} timesteps", flush=True)
 
     # 3-4. prune with each criterion, measure same-seed SSIM vs base
