@@ -52,7 +52,7 @@ def bench_sampling(model, params, schedule):
                            SamplerConfig(num_inference_steps=100,
                                          skip_type="quad", style="ddim_exp",
                                          dtype="bfloat16"))
-    batch = 128  # best measured batch on v5e (99 imgs/s vs 75 at bs512)
+    batch = 128  # best measured batch on v5e (96 imgs/s vs 77 at bs256)
     _sync(sampler(jax.random.key(0), batch, 32, 3))  # warmup / compile
     reps = 3
     t0 = time.perf_counter()
@@ -60,6 +60,21 @@ def bench_sampling(model, params, schedule):
         _sync(sampler(jax.random.key(i + 1), batch, 32, 3))
     dt = (time.perf_counter() - t0) / reps
     return batch / dt
+
+
+def bench_pruned_sampling(model, params, schedule):
+    """Sampling throughput AFTER Diff-Pruning at ratio 0.3 — the artifact the
+    whole framework exists to produce (19.95M params / 3.39G MACs)."""
+    import jax
+
+    from diff_pruning_tpu.models.unet2d import UNet2D
+    from diff_pruning_tpu.pruning.importance import make_importance
+    from diff_pruning_tpu.pruning.pruner import apply_pruning, prune
+
+    res = prune(model.graph, params, make_importance("magnitude"), sparsity=0.3)
+    pp = apply_pruning(params, model.graph, res)
+    pm = UNet2D(model.cfg.with_channel_sizes(res.channel_sizes))
+    return bench_sampling(pm, pp, schedule)
 
 
 def bench_finetune(model, params, schedule):
@@ -135,6 +150,7 @@ def main():
     flops_per_img = 2.0 * macs * 100  # conv/linear MACs x 100 DDIM evals
     mfu = imgs_per_sec * flops_per_img / V5E_PEAK_BF16_FLOPS
 
+    pruned_imgs_per_sec = bench_pruned_sampling(model, params, schedule)
     ft_imgs_per_sec = bench_finetune(model, params, schedule)
     sweep_s, sweep_compile_s = bench_sweep(model, params, schedule)
 
@@ -145,6 +161,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / A100_REF_IMGS_PER_SEC, 3),
         "sub": {
             "sampling_mfu_pct": round(100 * mfu, 1),
+            "pruned30_sampling_imgs_per_sec": round(pruned_imgs_per_sec, 2),
+            "pruned30_speedup": round(pruned_imgs_per_sec / imgs_per_sec, 2),
             "finetune_imgs_per_sec": round(ft_imgs_per_sec, 1),
             "sweep_1000step_bs128_seconds": round(sweep_s, 1),
             "sweep_compile_seconds": round(sweep_compile_s, 1),

@@ -17,7 +17,14 @@ def main(argv=None):
                    help="compile on the accelerator backend (default: CPU — "
                         "this is static analysis; remote TPU compile adds "
                         "minutes of latency for no extra information)")
+    p.add_argument("--trace", type=str, default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler timeline of the profiled "
+                        "step into LOGDIR (view with xprof/tensorboard; the "
+                        "reference has no timeline tracer — SURVEY.md §5). "
+                        "Implies --device.")
     args = p.parse_args(argv)
+    if args.trace:
+        args.device = True
 
     import jax
 
@@ -57,6 +64,16 @@ def main(argv=None):
         flops = xla_flops(lambda p: model(p, x, t), params)
         label = "forward"
     print(f"XLA exact FLOPs ({label}, batch {args.batch_size}): {flops/1e9:.4f} G")
+
+    if args.trace:
+        run = jax.jit((lambda p: fn(p)) if args.train_step
+                      else (lambda p: model(p, x, t)))
+        run(params)  # compile outside the trace
+        with jax.profiler.trace(args.trace):
+            out = run(params)
+            jax.tree.leaves(out)[0].block_until_ready()
+        print(f"wrote profiler trace to {args.trace} "
+              "(inspect with xprof or tensorboard --logdir)")
 
     # compiled memory analysis (the TPU answer to cuda.max_memory_allocated)
     compiled = jax.jit(lambda p: model(p, x, t)).lower(params).compile()

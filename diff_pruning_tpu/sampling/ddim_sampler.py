@@ -40,7 +40,8 @@ class SamplerConfig:
 
 def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
                  class_labels: bool = False, mesh=None,
-                 data_axis: str = "data") -> Callable:
+                 data_axis: str = "data", tensor_parallel: bool = False,
+                 model_axis: str = "model") -> Callable:
     """Returns sample(key, batch_size, hw, channels[, labels]) -> images in [0,1].
 
     With ``mesh``, the whole trajectory is one SPMD program: the initial
@@ -48,6 +49,12 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
     replicated, and the output comes back data-sharded — the reference's
     8-process sampling fan-out (ddpm_sample.py:55-77) as a single program.
     batch_size must divide by the data-axis size.
+
+    ``tensor_parallel`` (2-D mesh with a ``model_axis``) additionally shards
+    every conv/linear out-axis over the model axis via the model's
+    ChannelGraph (parallel/tp.py) — for UNets whose weights/activations
+    outgrow one chip (LSUN-256, the 400M LDM). GSPMD inserts the
+    activation collectives.
     """
     ts = ddim_timesteps(cfg.num_inference_steps, schedule.num_train_timesteps,
                         cfg.skip_type, style=cfg.style)
@@ -62,7 +69,14 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
     if mesh is not None:
         n_shards = mesh.shape[data_axis]
         data_sh = NamedSharding(mesh, P(data_axis))
-        params = jax.device_put(params, NamedSharding(mesh, P()))
+        if tensor_parallel:
+            from ..parallel.tp import tp_param_shardings
+
+            params = jax.device_put(
+                params, tp_param_shardings(model.graph, params, mesh,
+                                           axis=model_axis))
+        else:
+            params = jax.device_put(params, NamedSharding(mesh, P()))
 
     @functools.partial(jax.jit, static_argnums=(1, 2, 3),
                        out_shardings=data_sh if mesh is not None else None)

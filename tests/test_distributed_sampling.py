@@ -81,3 +81,19 @@ def test_cfg_sampler_sharded_matches_single_device():
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_tensor_parallel_sampler_matches_replicated():
+    """TP sampling (beyond the reference): conv/linear out-axes sharded over
+    the 'model' axis via the ChannelGraph; results must equal the
+    replicated-params sampler."""
+    model, params, sched = _build()
+    scfg = SamplerConfig(num_inference_steps=2)
+    mesh = make_mesh((("data", 2), ("model", 4)))
+    ref = make_sampler(model, params, sched, scfg, mesh=mesh)(
+        jax.random.key(9), 4, 16, 3)
+    out = make_sampler(model, params, sched, scfg, mesh=mesh,
+                       tensor_parallel=True)(jax.random.key(9), 4, 16, 3)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-3)
