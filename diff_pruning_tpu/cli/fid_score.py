@@ -20,6 +20,9 @@ def parse_args(argv=None):
     p.add_argument("--inception-weights", type=str, default=None)
     p.add_argument("--save-stats", action="store_true",
                    help="treat path2 as the output .npz for path1's statistics")
+    p.add_argument("--clean", action="store_true",
+                   help="clean-fid preprocessing (antialiased PIL-bicubic "
+                        "resize) — the reference calc_fid.py variant")
     return p.parse_args(argv)
 
 
@@ -35,16 +38,18 @@ def main(argv=None):
             "(pt_inception-2015-12-05-6726825d.pth or converted .npz); this "
             "environment has no network access.")
 
+    mode = "clean" if args.clean else "torch"
     if args.save_stats:
         mu, sigma = statistics_of_path(args.path[0], params,
                                        batch_size=args.batch_size,
-                                       resolution=args.res)
+                                       resolution=args.res, resize_mode=mode)
         save_stats(args.path[1], mu, sigma)
         print(f"saved stats to {args.path[1]}")
         return
 
     fid = fid_between_paths(args.path[0], args.path[1], params,
-                            batch_size=args.batch_size, resolution=args.res)
+                            batch_size=args.batch_size, resolution=args.res,
+                            resize_mode=mode)
     print("FID: ", fid)
 
 

@@ -61,11 +61,22 @@ def compute_activations(
     images_iter: Iterable[np.ndarray],
     *,
     batch_size: int = 128,
+    resize_mode: str = "torch",
 ) -> np.ndarray:
-    """Iterate uint8/float NHWC image batches -> stacked (N, 2048) features."""
+    """Iterate uint8/float NHWC image batches -> stacked (N, 2048) features.
+
+    resize_mode 'torch' is pytorch-fid's in-network bilinear (fid_score.py /
+    inception.py:33-34); 'clean' is the clean-fid preprocessing the
+    reference's calc_fid.py uses — antialiased PIL-bicubic resize on float
+    data before the network, overshoot unclipped (eval/resize.py).
+    """
+    from .resize import resize_bicubic_pil
 
     @jax.jit
     def feat(x):
+        if resize_mode == "clean":
+            x = resize_bicubic_pil(x, 299, 299)
+            return inception_pool3(inception_params, x, resize=False)
         return inception_pool3(inception_params, x)
 
     out = []
@@ -84,6 +95,7 @@ def statistics_of_path(
     batch_size: int = 128,
     resolution: Optional[int] = None,
     max_images: Optional[int] = None,
+    resize_mode: str = "torch",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Dir of images, .npz stats cache, or dataset name -> (mu, sigma).
 
@@ -109,7 +121,8 @@ def statistics_of_path(
             for i in range(0, n, batch_size):
                 yield np.stack([ds.load(j) for j in range(i, min(i + batch_size, n))])
 
-    feats = compute_activations(inception_params, batches(), batch_size=batch_size)
+    feats = compute_activations(inception_params, batches(), batch_size=batch_size,
+                                resize_mode=resize_mode)
     return activation_statistics(feats)
 
 
@@ -118,9 +131,10 @@ def save_stats(path: str, mu: np.ndarray, sigma: np.ndarray) -> None:
 
 
 def fid_between_paths(path1: str, path2: str, inception_params: dict,
-                      *, batch_size: int = 128, resolution: Optional[int] = None) -> float:
+                      *, batch_size: int = 128, resolution: Optional[int] = None,
+                      resize_mode: str = "torch") -> float:
     m1, s1 = statistics_of_path(path1, inception_params, batch_size=batch_size,
-                                resolution=resolution)
+                                resolution=resolution, resize_mode=resize_mode)
     m2, s2 = statistics_of_path(path2, inception_params, batch_size=batch_size,
-                                resolution=resolution)
+                                resolution=resolution, resize_mode=resize_mode)
     return frechet_distance(m1, s1, m2, s2)

@@ -558,3 +558,236 @@ class PReLU:
     def __call__(self, p, x):
         a = p["alpha"].astype(x.dtype)
         return jnp.where(x >= 0, x, a * x)
+
+
+@dataclasses.dataclass
+class InstanceNorm:
+    """InstanceNorm over (N, H, W, C): per-sample spatial statistics per
+    channel (torch.nn.InstanceNorm2d; the reference's InstanceNormPruner,
+    function.py:304-322, slices the affine weight/bias — registered here as
+    AxisRefs on the var). Stats in float32."""
+
+    scope: Scope
+    var: VarLike
+    eps: float = 1e-5
+    affine: bool = True
+
+    def __post_init__(self):
+        if self.affine:
+            self.scope.ref("scale", 0, self.var, "norm")
+            self.scope.ref("bias", 0, self.var, "bias")
+        self.size = sum(v.size for v, _ in _parts_of(self.var))
+
+    def init(self, key):
+        if not self.affine:
+            return {}
+        return {"scale": jnp.ones((self.size,)), "bias": jnp.zeros((self.size,))}
+
+    def __call__(self, p, x):
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=(1, 2), keepdims=True)
+        varr = xf.var(axis=(1, 2), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(varr + self.eps)
+        if self.affine:
+            y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+@dataclasses.dataclass
+class DepthwiseConv2D:
+    """Depthwise conv (feature_group_count == channels). In, out, and group
+    counts are all the SAME channel dimension — the reference's
+    DepthwiseConvPruner shrinks out_channels/in_channels/groups together
+    (function.py:149-165); here that coupling is structural: one ChannelVar,
+    kernel (k, k, 1, C) with the C axis registered once."""
+
+    scope: Scope
+    var: ChannelVar
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+
+    def __post_init__(self):
+        self.scope.ref("kernel", 3, self.var, "out")
+        if self.use_bias:
+            self.scope.ref("bias", 0, self.var, "bias")
+
+    def init(self, key):
+        k = self.kernel_size
+        fan_in = k * k  # per-group fan-in (torch: in_channels/groups * k*k)
+        kkey, bkey = jax.random.split(key)
+        p = {"kernel": _kaiming_uniform(kkey, (k, k, 1, self.var.size), fan_in)}
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(fan_in)
+            p["bias"] = jax.random.uniform(bkey, (self.var.size,), jnp.float32, -bound, bound)
+        return p
+
+    def __call__(self, p, x):
+        pad = [(self.padding, self.padding)] * 2
+        y = jax.lax.conv_general_dilated(
+            x,
+            p["kernel"].astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=p["kernel"].shape[3],
+        )
+        if self.use_bias:
+            y = y + p["bias"].astype(x.dtype)
+        return y
+
+
+def _gate_parts(hidden: ChannelVar, n: int) -> tuple:
+    """An (n*H,) axis where each of the n contiguous gates is indexed by the
+    same hidden var — the multi-part AxisRef form of torch_pruning's
+    ``expanded_keep_idxs`` (LSTMPruner, function.py:384,390-399)."""
+    return tuple((hidden, i * hidden.size) for i in range(n))
+
+
+@dataclasses.dataclass
+class LSTM:
+    """Single-layer (optionally bidirectional) LSTM as one ``lax.scan`` per
+    direction over (B, T, I) inputs — TPU-native: the whole sequence is one
+    compiled loop, each step two matmuls on the MXU.
+
+    torch.nn.LSTM parameter semantics and gate packing (i, f, g, o) along the
+    4H axis; weights stored transposed for right-matmuls: w_ih (I, 4H),
+    w_hh (H, 4H). The 4H axes are four-part AxisRefs on the hidden var and
+    the H axes ordinary refs, so generic surgery reproduces exactly the
+    reference LSTMPruner's coupled slicing (function.py:373-421); both
+    directions share the hidden var, as the reference prunes both postfixes
+    with the same indices."""
+
+    scope: Scope
+    din: VarLike
+    hidden: ChannelVar
+    use_bias: bool = True
+    bidirectional: bool = False
+
+    def __post_init__(self):
+        self.dirs = ("fwd", "bwd") if self.bidirectional else ("fwd",)
+        for d in self.dirs:
+            s = self.scope(d)
+            s.ref("w_ih", 0, self.din, "in")
+            g = s.graph
+            pre = f"{s.path}/" if s.path else ""
+            from ..pruning.graph import AxisRef
+
+            gates = _gate_parts(self.hidden, 4)
+            g.refs.append(AxisRef(pre + "w_ih", 1, gates, "out"))
+            g.ref(pre + "w_hh", 0, self.hidden, "in")
+            g.refs.append(AxisRef(pre + "w_hh", 1, gates, "out"))
+            if self.use_bias:
+                g.refs.append(AxisRef(pre + "b_ih", 0, gates, "bias"))
+                g.refs.append(AxisRef(pre + "b_hh", 0, gates, "bias"))
+            g._by_var = None
+
+    @property
+    def out_var(self) -> VarLike:
+        if not self.bidirectional:
+            return self.hidden
+        return CatVar((self.hidden, self.hidden))
+
+    def init(self, key):
+        i, h = self.din.size, self.hidden.size
+        bound = 1.0 / math.sqrt(h)  # torch: uniform(-1/sqrt(H), 1/sqrt(H))
+        p = {}
+        for n, d in enumerate(self.dirs):
+            ks = jax.random.split(jax.random.fold_in(key, n), 4)
+            sub = {
+                "w_ih": jax.random.uniform(ks[0], (i, 4 * h), jnp.float32, -bound, bound),
+                "w_hh": jax.random.uniform(ks[1], (h, 4 * h), jnp.float32, -bound, bound),
+            }
+            if self.use_bias:
+                sub["b_ih"] = jax.random.uniform(ks[2], (4 * h,), jnp.float32, -bound, bound)
+                sub["b_hh"] = jax.random.uniform(ks[3], (4 * h,), jnp.float32, -bound, bound)
+            p[d] = sub
+        return p
+
+    def _scan_dir(self, sub, x, reverse: bool):
+        b, t, _ = x.shape
+        h = sub["w_hh"].shape[0]
+        w_ih = sub["w_ih"].astype(x.dtype)
+        w_hh = sub["w_hh"].astype(x.dtype)
+        bias = 0.0
+        if self.use_bias:
+            bias = (sub["b_ih"] + sub["b_hh"]).astype(x.dtype)
+        # precompute input projections for the whole sequence (one big matmul)
+        xg = x @ w_ih + bias  # (B, T, 4H)
+
+        def step(carry, xt):
+            hprev, cprev = carry
+            gates = xt + hprev @ w_hh
+            i_g, f_g, g_g, o_g = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f_g) * cprev + jax.nn.sigmoid(i_g) * jnp.tanh(g_g)
+            hh = jax.nn.sigmoid(o_g) * jnp.tanh(c)
+            return (hh, c), hh
+
+        h0 = jnp.zeros((b, h), x.dtype)
+        (_, _), ys = jax.lax.scan(step, (h0, h0), jnp.swapaxes(xg, 0, 1),
+                                  reverse=reverse)
+        return jnp.swapaxes(ys, 0, 1)  # (B, T, H), time-ordered either way
+
+    def __call__(self, p, x):
+        outs = [self._scan_dir(p["fwd"], x, reverse=False)]
+        if self.bidirectional:
+            outs.append(self._scan_dir(p["bwd"], x, reverse=True))
+        return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+
+
+@dataclasses.dataclass
+class MultiheadAttention:
+    """torch.nn.MultiheadAttention equivalent (batch_first self-attention,
+    fused in-projection): in_proj kernel (E, 3E) where the 3E axis is a
+    three-part AxisRef on the embed var (q, k, v blocks — the reference
+    MultiheadAttentionPruner's ``pruning_idxs_repeated``,
+    function.py:462-517), out_proj E -> E on the same var, and
+    ``group_div = num_heads`` enforcing the reference's
+    ``embed_dim % num_heads == 0`` check structurally. head_dim follows the
+    pruned embed size."""
+
+    scope: Scope
+    var: ChannelVar  # embed dimension
+    heads: int
+
+    def __post_init__(self):
+        self.var.require_group_div(self.heads)
+        s = self.scope
+        g = s.graph
+        pre = f"{s.path}/" if s.path else ""
+        from ..pruning.graph import AxisRef
+
+        qkv = _gate_parts(self.var, 3)
+        g.ref(pre + "in_proj/kernel", 0, self.var, "in")
+        g.refs.append(AxisRef(pre + "in_proj/kernel", 1, qkv, "out"))
+        g.refs.append(AxisRef(pre + "in_proj/bias", 0, qkv, "bias"))
+        g._by_var = None
+        self.out_proj = Linear(s("out_proj"), self.var, self.var)
+
+    def init(self, key):
+        e = self.var.size
+        k1, k2 = jax.random.split(key)
+        # torch inits in_proj with xavier_uniform_, in_proj_bias to 0
+        bound = math.sqrt(6.0 / (e + 3 * e))
+        p = {"in_proj": {
+            "kernel": jax.random.uniform(k1, (e, 3 * e), jnp.float32, -bound, bound),
+            "bias": jnp.zeros((3 * e,)),
+        }, "out_proj": self.out_proj.init(k2)}
+        return p
+
+    def __call__(self, p, x):
+        b, n, e = x.shape
+        hd = e // self.heads
+        qkv = x @ p["in_proj"]["kernel"].astype(x.dtype) + p["in_proj"]["bias"].astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(t):  # (B, N, E) -> (B, heads, N, hd)
+            return t.reshape(b, n, self.heads, hd).transpose(0, 2, 1, 3)
+
+        q, k, v = split(q), split(k), split(v)
+        attn = jax.nn.softmax(
+            jnp.einsum("bhnd,bhmd->bhnm", q, k) / math.sqrt(hd), axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, n, e)
+        return self.out_proj(p["out_proj"], o)

@@ -245,3 +245,43 @@ def test_fid_pipeline_end_to_end(tmp_path):
     diff = fid_between_paths(str(d1), str(d3), params, batch_size=16)
     assert abs(same) < 1e-3
     assert diff > same + 1.0
+
+
+def test_clean_resize_matches_pil():
+    """eval/resize.py is PIL-exact: antialiased bicubic on float channels
+    (the clean-fid preprocessing behind the reference's calc_fid.py)."""
+    from PIL import Image
+
+    from diff_pruning_tpu.eval.resize import resize_bicubic_pil
+
+    rng = np.random.default_rng(7)
+    for (h, w, oh, ow) in [(32, 32, 299, 299), (300, 200, 64, 48)]:
+        x = rng.uniform(0, 255, size=(2, h, w, 3)).astype(np.float32)
+        ours = np.asarray(resize_bicubic_pil(jnp.asarray(x), oh, ow))
+        for n in range(2):
+            ref = np.stack([
+                np.asarray(Image.fromarray(x[n, :, :, c], mode="F")
+                           .resize((ow, oh), Image.BICUBIC))
+                for c in range(3)], axis=-1)
+            np.testing.assert_allclose(ours[n], ref, atol=2e-4)
+
+
+def test_clean_mode_fid_runs(tmp_path):
+    """--clean routes through the antialiased resize and still gives ~0 FID
+    for identical dirs."""
+    from PIL import Image
+
+    from diff_pruning_tpu.eval.fid import fid_between_paths
+
+    rng = np.random.default_rng(2)
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir(), d2.mkdir()
+    for i in range(24):
+        im = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+        Image.fromarray(im).save(d1 / f"{i}.png")
+        Image.fromarray(im).save(d2 / f"{i}.png")
+    params = _synth_inception_params(np.random.default_rng(1))
+    same = fid_between_paths(str(d1), str(d2), params, batch_size=12,
+                             resize_mode="clean")
+    assert abs(same) < 1e-3
