@@ -66,9 +66,14 @@ class LatentDiffusion:
     def __init__(self, unet_cfg: UNetCondConfig, *, n_classes: int = 1001,
                  first_stage=None, scale_factor: float = 1.0,
                  num_train_timesteps: int = 1000,
-                 linear_start: float = 0.0015, linear_end: float = 0.0195):
+                 linear_start: float = 0.0015, linear_end: float = 0.0195,
+                 cond_stage=None):
+        """cond_stage: any object with .init(key) and __call__(params, cond)
+        -> (B, N, context_dim); defaults to the ClassEmbedder (cin256-v2).
+        Pass models/text_encoder.BERTEmbedder for the txt2img-1p4B family —
+        then ``labels`` arguments are (B, 77) token-id arrays."""
         self.unet = UNetCond(unet_cfg)
-        self.cond_stage = ClassEmbedder(n_classes, unet_cfg.context_dim)
+        self.cond_stage = cond_stage or ClassEmbedder(n_classes, unet_cfg.context_dim)
         self.n_classes = n_classes
         self.uncond_class = n_classes - 1
         self.first_stage = first_stage  # VQModel/AutoencoderKL or None

@@ -504,6 +504,18 @@ def cin_ldm_vq_f8_config() -> UNetCondConfig:
         transformer_depth=1, context_dim=512)
 
 
+def txt2img_1p4B_config() -> UNetCondConfig:
+    """configs/latent-diffusion/txt2img-1p4B-eval.yaml unet_config: the
+    LAION-400M text-to-image LDM (KL-8 latents 32x32x4, ctx 1280 from a
+    BERTEmbedder — models/text_encoder.py; legacy=False + num_heads=8 gives
+    dim_head = ch // 8, same resolution rule as the other presets)."""
+    return UNetCondConfig(
+        image_size=32, in_channels=4, out_channels=4, model_channels=320,
+        num_res_blocks=2, attention_resolutions=(4, 2, 1),
+        channel_mult=(1, 2, 4, 4), num_heads=8, transformer_depth=1,
+        context_dim=1280)
+
+
 def tiny_cond_config() -> UNetCondConfig:
     return UNetCondConfig(
         image_size=8, in_channels=3, out_channels=3, model_channels=32,

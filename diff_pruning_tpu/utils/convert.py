@@ -241,3 +241,46 @@ def ddim_original_state_dict_to_params(sd: Mapping[str, "object"],
                 leaf = "scale"
         flat["/".join(stem + [leaf])] = arr
     return unflatten_params(flat)
+
+
+def bert_embedder_state_dict_to_params(sd: Mapping[str, "object"]) -> dict:
+    """Vendored x-transformers TransformerWrapper state_dict (the
+    BERTEmbedder.transformer of txt2img-1p4B,
+    ldm_exp/ldm/modules/x_transformer.py:548-641) -> BERTEmbedder params.
+
+    Layer list layout: attn_layers.layers.{2i} = (LayerNorm, Attention,
+    Residual) and .{2i+1} = (LayerNorm, FeedForward, Residual); FeedForward's
+    Sequential is net.0.0 (Linear) / net.0.1 (GELU) / net.2 (Linear)."""
+
+    def arr(k, t=False):
+        a = sd[k]
+        a = np.asarray(a.detach().cpu().numpy() if hasattr(a, "detach") else a)
+        return a.T if t else a
+
+    flat: Dict[str, np.ndarray] = {
+        "token_emb/embedding": arr("token_emb.weight"),
+        "pos_emb/embedding": arr("pos_emb.emb.weight"),
+        "norm/scale": arr("norm.weight"),
+        "norm/bias": arr("norm.bias"),
+        "to_logits/kernel": arr("to_logits.weight", t=True),
+        "to_logits/bias": arr("to_logits.bias"),
+    }
+    n_layer = (1 + max(int(k.split(".")[2]) for k in sd
+                       if k.startswith("attn_layers.layers."))) // 2
+    for i in range(n_layer):
+        a = f"attn_layers.layers.{2 * i}"
+        f = f"attn_layers.layers.{2 * i + 1}"
+        pre = f"layers/{i}"
+        flat[f"{pre}/attn_norm/scale"] = arr(f"{a}.0.weight")
+        flat[f"{pre}/attn_norm/bias"] = arr(f"{a}.0.bias")
+        for proj in ("to_q", "to_k", "to_v"):
+            flat[f"{pre}/attn/{proj}/kernel"] = arr(f"{a}.1.{proj}.weight", t=True)
+        flat[f"{pre}/attn/to_out/kernel"] = arr(f"{a}.1.to_out.weight", t=True)
+        flat[f"{pre}/attn/to_out/bias"] = arr(f"{a}.1.to_out.bias")
+        flat[f"{pre}/ff_norm/scale"] = arr(f"{f}.0.weight")
+        flat[f"{pre}/ff_norm/bias"] = arr(f"{f}.0.bias")
+        flat[f"{pre}/ff/fc1/kernel"] = arr(f"{f}.1.net.0.0.weight", t=True)
+        flat[f"{pre}/ff/fc1/bias"] = arr(f"{f}.1.net.0.0.bias")
+        flat[f"{pre}/ff/fc2/kernel"] = arr(f"{f}.1.net.2.weight", t=True)
+        flat[f"{pre}/ff/fc2/bias"] = arr(f"{f}.1.net.2.bias")
+    return unflatten_params(flat)
