@@ -150,12 +150,19 @@ def save_image_grid(images, path: str, nrow: int = 8) -> None:
 
 
 def save_images(images, outdir: str, start_index: int = 0) -> None:
+    """PNG-encode a batch on a thread pool (zlib compression releases the
+    GIL, so encoding parallelizes across host cores)."""
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from PIL import Image
 
     os.makedirs(outdir, exist_ok=True)
     arr = to_uint8(images)
-    for i, im in enumerate(arr):
-        Image.fromarray(im.squeeze()).save(
+
+    def write(i):
+        Image.fromarray(arr[i].squeeze()).save(
             os.path.join(outdir, f"{start_index + i:06d}.png"))
+
+    with ThreadPoolExecutor(max_workers=min(16, os.cpu_count() or 1)) as ex:
+        list(ex.map(write, range(len(arr))))

@@ -48,7 +48,24 @@ def sample_many(
         assert batch_size % n_shards == 0, (
             f"batch_size {batch_size} must divide by the data axis ({n_shards})")
     results = [] if outdir is None else None
-    saved = 0
+    sub = outdir
+    if outdir is not None and jax.process_count() > 1:
+        sub = os.path.join(outdir, f"process_{jax.process_index()}")
+
+    def flush(imgs_dev, start):
+        """Materialize a finished batch on the host and save/collect it."""
+        imgs = np.asarray(imgs_dev)[: min(batch_size, total_images - start)]
+        if outdir is not None:
+            save_images(imgs, sub, start_index=start)
+        else:
+            results.append(imgs)
+        if progress:
+            print(f"  sampled {start + len(imgs)}/{total_images}")
+
+    # Pipelined: dispatch batch b+1 before materializing batch b, so PNG
+    # encoding/host transfer overlaps the device's next trajectory (the
+    # reference serializes save after sample, ddpm_sample.py:64-77).
+    pending = None
     for b in range(num_batches):
         bkey = jax.random.fold_in(key, b)
         if labels_fn is not None:
@@ -58,19 +75,11 @@ def sample_many(
             imgs = sampler(bkey, batch_size, hw, channels, labels)
         else:
             imgs = sampler(bkey, batch_size, hw, channels)
-        imgs = np.asarray(imgs)
-        take = min(batch_size, total_images - saved)
-        imgs = imgs[:take]
-        if outdir is not None:
-            sub = outdir
-            if jax.process_count() > 1:
-                sub = os.path.join(outdir, f"process_{jax.process_index()}")
-            save_images(imgs, sub, start_index=saved)
-        else:
-            results.append(imgs)
-        saved += take
-        if progress:
-            print(f"  sampled {saved}/{total_images}")
+        if pending is not None:
+            flush(*pending)
+        pending = (imgs, b * batch_size)
+    if pending is not None:
+        flush(*pending)
     if results is not None:
         return np.concatenate(results, axis=0)
     return None
