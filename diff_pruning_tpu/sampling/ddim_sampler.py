@@ -127,9 +127,14 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
     return sample
 
 
-def to_uint8(images: jnp.ndarray) -> np.ndarray:
-    """[0,1] float NHWC -> uint8 numpy (reference: numpy round path)."""
-    return np.asarray(jnp.round(jnp.clip(images, 0, 1) * 255.0)).astype(np.uint8)
+def to_uint8(images) -> np.ndarray:
+    """[0,1] float NHWC -> uint8 numpy (reference: numpy round path).
+
+    Pure host-side numpy: a jnp implementation would re-upload
+    already-fetched batches to the device and contend with the sampler
+    (np.round == jnp.round == round-half-even)."""
+    arr = np.asarray(images, dtype=np.float32)
+    return np.round(np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
 def save_image_grid(images, path: str, nrow: int = 8) -> None:
