@@ -40,24 +40,36 @@ def main(argv=None):
                                    latent_hw=hw, latent_ch=ch, mesh=mesh,
                                    method=args.method)
     os.makedirs(args.output_dir, exist_ok=True)
+    # jit the whole latent->image decode (one program per dispatch — this
+    # platform pays seconds of latency per op otherwise) and pipeline:
+    # batch b+1's trajectory runs on-device while batch b's PNGs encode.
+    if ldm.first_stage is not None:
+        decode = jax.jit(lambda p, lat: ldm.decode_first_stage(p, lat))
+    else:
+        decode = jax.jit(lambda p, lat: jnp.clip(lat * 0.5 + 0.5, 0.0, 1.0))
     key = jax.random.key(args.seed)
     idx = 0
+    pending = None
+
+    def flush(imgs_dev, n, start):
+        save_images(np.asarray(imgs_dev)[:n], args.output_dir, start_index=start)
+
     for cls in range(args.num_classes):
         remaining = args.ipc
         while remaining > 0:
             n = min(args.batch_size, remaining)
             key, k = jax.random.split(key)
             labels = jnp.full((args.batch_size,), cls, jnp.int32)
-            lat = sampler(k, labels, args.batch_size)
-            if ldm.first_stage is not None:
-                imgs = np.asarray(ldm.decode_first_stage(params, lat))
-            else:
-                imgs = np.clip(np.asarray(lat) * 0.5 + 0.5, 0, 1)
-            save_images(imgs[:n], args.output_dir, start_index=idx)
+            imgs_dev = decode(params, sampler(k, labels, args.batch_size))
+            if pending is not None:
+                flush(*pending)
+            pending = (imgs_dev, n, idx)
             idx += n
             remaining -= n
         if (cls + 1) % 25 == 0:
             print(f"class {cls + 1}/{args.num_classes}: {idx} images")
+    if pending is not None:
+        flush(*pending)
     print(f"wrote {idx} images to {args.output_dir}")
 
 
