@@ -28,8 +28,15 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    import jax
+
     from ..eval.fid import fid_between_paths, save_stats, statistics_of_path
     from ..eval.inception import load_fid_inception_params
+    from ..parallel.mesh import make_mesh
+
+    # shard the Inception pass over all local devices (SPMD replaces the
+    # reference's per-process fan-out)
+    mesh = make_mesh() if len(jax.devices()) > 1 else None
 
     params = load_fid_inception_params(args.inception_weights)
     if params is None:
@@ -42,14 +49,15 @@ def main(argv=None):
     if args.save_stats:
         mu, sigma = statistics_of_path(args.path[0], params,
                                        batch_size=args.batch_size,
-                                       resolution=args.res, resize_mode=mode)
+                                       resolution=args.res, resize_mode=mode,
+                                       mesh=mesh)
         save_stats(args.path[1], mu, sigma)
         print(f"saved stats to {args.path[1]}")
         return
 
     fid = fid_between_paths(args.path[0], args.path[1], params,
                             batch_size=args.batch_size, resolution=args.res,
-                            resize_mode=mode)
+                            resize_mode=mode, mesh=mesh)
     print("FID: ", fid)
 
 

@@ -62,6 +62,7 @@ def compute_activations(
     *,
     batch_size: int = 128,
     resize_mode: str = "torch",
+    mesh=None,
 ) -> np.ndarray:
     """Iterate uint8/float NHWC image batches -> stacked (N, 2048) features.
 
@@ -69,8 +70,21 @@ def compute_activations(
     inception.py:33-34); 'clean' is the clean-fid preprocessing the
     reference's calc_fid.py uses — antialiased PIL-bicubic resize on float
     data before the network, overshoot unclipped (eval/resize.py).
+
+    With ``mesh``, each batch is sharded over the mesh's data axis (params
+    replicated, XLA runs the Inception pass SPMD) — the 50k-feature
+    extraction the reference does per-process scales over the slice. Ragged
+    final batches are zero-padded to shard divisibility and the pad rows
+    dropped from the features.
     """
     from .resize import resize_bicubic_pil
+
+    sh = None
+    if mesh is not None:
+        from ..parallel.mesh import data_sharding
+
+        sh = data_sharding(mesh)
+        n_shards = mesh.shape["data"]
 
     @jax.jit
     def feat(x):
@@ -81,10 +95,18 @@ def compute_activations(
 
     out = []
     for batch in images_iter:
-        x = jnp.asarray(batch)
-        if x.dtype == jnp.uint8:
-            x = x.astype(jnp.float32) / 255.0
-        out.append(np.asarray(feat(x)))
+        x = np.asarray(batch)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        n = len(x)
+        if sh is not None:
+            pad = (-n) % n_shards
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            xd = jax.device_put(jnp.asarray(x), sh)
+        else:
+            xd = jnp.asarray(x)
+        out.append(np.asarray(feat(xd))[:n])
     return np.concatenate(out, axis=0)
 
 
@@ -96,6 +118,7 @@ def statistics_of_path(
     resolution: Optional[int] = None,
     max_images: Optional[int] = None,
     resize_mode: str = "torch",
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Dir of images, .npz stats cache, or dataset name -> (mu, sigma).
 
@@ -122,7 +145,7 @@ def statistics_of_path(
                 yield np.stack([ds.load(j) for j in range(i, min(i + batch_size, n))])
 
     feats = compute_activations(inception_params, batches(), batch_size=batch_size,
-                                resize_mode=resize_mode)
+                                resize_mode=resize_mode, mesh=mesh)
     return activation_statistics(feats)
 
 
@@ -132,9 +155,11 @@ def save_stats(path: str, mu: np.ndarray, sigma: np.ndarray) -> None:
 
 def fid_between_paths(path1: str, path2: str, inception_params: dict,
                       *, batch_size: int = 128, resolution: Optional[int] = None,
-                      resize_mode: str = "torch") -> float:
+                      resize_mode: str = "torch", mesh=None) -> float:
     m1, s1 = statistics_of_path(path1, inception_params, batch_size=batch_size,
-                                resolution=resolution, resize_mode=resize_mode)
+                                resolution=resolution, resize_mode=resize_mode,
+                                mesh=mesh)
     m2, s2 = statistics_of_path(path2, inception_params, batch_size=batch_size,
-                                resolution=resolution, resize_mode=resize_mode)
+                                resolution=resolution, resize_mode=resize_mode,
+                                mesh=mesh)
     return frechet_distance(m1, s1, m2, s2)

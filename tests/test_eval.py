@@ -285,3 +285,20 @@ def test_clean_mode_fid_runs(tmp_path):
     same = fid_between_paths(str(d1), str(d2), params, batch_size=12,
                              resize_mode="clean")
     assert abs(same) < 1e-3
+
+
+def test_fid_activations_sharded_matches_single_device():
+    """compute_activations(mesh=...) shards each Inception batch over the
+    data axis; features must match the single-device pass (incl. a ragged
+    final batch exercising the pad-and-drop path)."""
+    from diff_pruning_tpu.eval.fid import compute_activations
+    from diff_pruning_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(5)
+    params = _synth_inception_params(np.random.default_rng(1))
+    batches = [rng.random((16, 32, 32, 3)).astype(np.float32),
+               rng.random((5, 32, 32, 3)).astype(np.float32)]  # ragged
+    ref = compute_activations(params, iter(batches))
+    got = compute_activations(params, iter(batches), mesh=make_mesh())
+    assert got.shape == ref.shape == (21, 2048)
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
