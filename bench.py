@@ -91,7 +91,7 @@ def bench_finetune(model, params, schedule):
     # the chunked step donates its state; train on a copy so the caller's
     # params survive for the following benchmarks
     state = init_train_state(jax.tree.map(jnp.copy, params), cfg)
-    chunk = 8
+    chunk = 32  # the train CLI's default dispatch (8->2410, 32->2585 imgs/s)
     step = make_chunked_train_step(model, schedule, cfg, chunk=chunk)
     batch = jnp.zeros((chunk, 128, 32, 32, 3), jnp.float32)
     state, m = step(state, batch, jax.random.key(0))  # compile + warmup

@@ -40,9 +40,10 @@ def parse_args(argv=None):
     p.add_argument("--vis_samples", type=int, default=64)
     p.add_argument("--kd", action="store_true", help="distill from the unpruned teacher")
     p.add_argument("--teacher_path", type=str, default=None)
-    p.add_argument("--steps_per_dispatch", type=int, default=8,
+    p.add_argument("--steps_per_dispatch", type=int, default=32,
                    help="optimizer steps fused into one device dispatch "
-                        "(amortizes host->device latency)")
+                        "(amortizes host->device latency; measured on v5e: "
+                        "8 -> 2410, 16 -> 2466, 32 -> 2585 imgs/s)")
     return p.parse_args(argv)
 
 
@@ -115,14 +116,10 @@ def main(argv=None):
               f"(optimizer state {'restored' if restored else 'RE-INITIALIZED'})")
     state = replicate(mesh, state)
 
-    # chunk must divide the log/save intervals so every boundary is hit and
-    # resumed runs re-derive the same per-chunk keys (fold_in at multiples
-    # of chunk): largest divisor of gcd(save,log) <= steps_per_dispatch
-    import math
+    from ..utils.runlog import archive_command, chunk_for_intervals
 
-    g = math.gcd(args.save_model_steps, args.log_steps)
-    cap = max(1, min(args.steps_per_dispatch, g))
-    chunk = max(d for d in range(1, cap + 1) if g % d == 0)
+    chunk = chunk_for_intervals(args.steps_per_dispatch,
+                                args.save_model_steps, args.log_steps)
     step_fn = make_chunked_train_step(model, schedule, tcfg_train, chunk=chunk,
                                       mesh=mesh, teacher=teacher)
 
@@ -135,12 +132,7 @@ def main(argv=None):
 
     os.makedirs(args.output_dir, exist_ok=True)
     os.makedirs(os.path.join(args.output_dir, "vis"), exist_ok=True)
-    # archive the exact launch command (reference: ddpm_train.py:376-378)
-    import sys as _sys
-
-    with open(os.path.join(args.output_dir, "run.sh"), "a") as f:
-        f.write("python -m diff_pruning_tpu.cli.ddpm_train "
-                + " ".join(argv if argv is not None else _sys.argv[1:]) + "\n")
+    archive_command(args.output_dir, "diff_pruning_tpu.cli.ddpm_train", argv)
     metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
     # TensorBoard scalars (the reference's accelerate tracker,
     # ddpm_train.py:519-530), written natively — utils/tensorboard.py

@@ -30,7 +30,7 @@ def parse_args(argv=None):
     p.add_argument("--mixed_precision", type=str, default="bf16", choices=["no", "bf16"])
     p.add_argument("--save_model_steps", type=int, default=1000)
     p.add_argument("--log_steps", type=int, default=100)
-    p.add_argument("--steps_per_dispatch", type=int, default=8)
+    p.add_argument("--steps_per_dispatch", type=int, default=32)
     p.add_argument("--uncond_prob", type=float, default=0.0,
                    help="probability of dropping the class label to the "
                         "uncond class during training (CFG training)")
@@ -86,11 +86,10 @@ def main(argv=None):
         eps = ldm.unet(up, noisy, t, context=ctx)
         return jnp.mean((eps - noise).astype(jnp.float32) ** 2)
 
-    import math
+    from ..utils.runlog import archive_command, chunk_for_intervals
 
-    g = math.gcd(args.save_model_steps, args.log_steps)
-    cap = max(1, min(args.steps_per_dispatch, g))
-    chunk = max(d for d in range(1, cap + 1) if g % d == 0)
+    chunk = chunk_for_intervals(args.steps_per_dispatch,
+                                args.save_model_steps, args.log_steps)
 
     @jax.jit
     def chunk_step(unet_params, opt_state, images, labels, key):
@@ -124,11 +123,7 @@ def main(argv=None):
                                       seed=args.seed, skip_batches=start_step)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    import sys as _sys
-
-    with open(os.path.join(args.output_dir, "run.sh"), "a") as f:
-        f.write("python -m diff_pruning_tpu.cli.ldm_train "
-                + " ".join(argv if argv is not None else _sys.argv[1:]) + "\n")
+    archive_command(args.output_dir, "diff_pruning_tpu.cli.ldm_train", argv)
     log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
     from ..utils.tensorboard import SummaryWriter
 

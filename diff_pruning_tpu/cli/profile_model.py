@@ -71,7 +71,10 @@ def main(argv=None):
         run(params)  # compile outside the trace
         with jax.profiler.trace(args.trace):
             out = run(params)
-            jax.tree.leaves(out)[0].block_until_ready()
+            # force a host transfer: block_until_ready does not reliably
+            # synchronize on this platform (CLAUDE.md), and an early return
+            # here would end the trace mid-step
+            float(jnp.sum(jax.tree.leaves(out)[0]))
         print(f"wrote profiler trace to {args.trace} "
               "(inspect with xprof or tensorboard --logdir)")
 

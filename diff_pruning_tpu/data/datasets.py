@@ -106,14 +106,23 @@ def _load_image(path: str, resolution: Optional[int], celeba_crop: bool) -> np.n
 
 def _resize_center_crop(im, resolution: int):
     """transforms.Resize(s) (shorter side) + CenterCrop(s) — the LSUN
-    pipeline (ddpm_exp/datasets/__init__.py:113-136)."""
+    pipeline (ddpm_exp/datasets/__init__.py:113-136). Matches torchvision's
+    size arithmetic (long side = int(s * long / short), truncating) and its
+    default BILINEAR filter — PIL's default resample is bicubic, which would
+    feed systematically different pixels than the reference."""
+    from PIL import Image
+
     w, h = im.size
     if (w, h) != (resolution, resolution):
-        s = resolution / min(w, h)
-        im = im.resize((max(resolution, round(w * s)),
-                        max(resolution, round(h * s))))
+        if w <= h:
+            new_w, new_h = resolution, int(resolution * h / w)
+        else:
+            new_w, new_h = int(resolution * w / h), resolution
+        im = im.resize((new_w, new_h), Image.BILINEAR)
         w, h = im.size
-        left, top = (w - resolution) // 2, (h - resolution) // 2
+        # torchvision center_crop: int(round((dim - crop)/2))
+        left = int(round((w - resolution) / 2.0))
+        top = int(round((h - resolution) / 2.0))
         im = im.crop((left, top, left + resolution, top + resolution))
     return im
 
@@ -323,9 +332,11 @@ def iterate_batches(
 ) -> Iterator[np.ndarray]:
     """Shuffled epochs of normalized NHWC float32 batches with random flip.
 
-    ``skip_batches`` fast-forwards the stream for resume: the shuffle and
-    flip RNG draws are replayed without touching pixel data, so a resumed
-    run sees exactly the batches an uninterrupted run would have.
+    ``skip_batches`` fast-forwards the stream for resume: the shuffle, flip,
+    AND dequantization RNG draws are replayed without touching pixel data,
+    so a resumed run sees exactly the batches an uninterrupted run would
+    have (the dequant replay draws same-shape noise per skipped batch —
+    correctness over skip speed on the transform paths).
     ``transform`` selects the ddpm_exp input-transform family
     (datasets/__init__.py:184-215) applied after Normalize: None (the
     [-1,1] default), or one of data_transforms' names via
@@ -344,6 +355,10 @@ def iterate_batches(
     plain = not (tkw["logit"] or tkw["uniform_dequantization"]
                  or tkw["gaussian_dequantization"])
     trng = np.random.default_rng(seed + 1 if dequant_seed is None else dequant_seed)
+    img_shape = None
+    if not plain and skip_batches > 0:
+        img_shape = (dataset.images.shape[1:] if in_memory
+                     else np.asarray(dataset.load(0)).shape)
     to_skip = skip_batches
     while True:
         order = rng.permutation(n)
@@ -353,6 +368,13 @@ def iterate_batches(
             flips = (rng.random(len(idx)) < 0.5) if flip else np.zeros(len(idx), bool)
             if to_skip > 0:
                 to_skip -= 1
+                if not plain:
+                    # replay the dequant draws the skipped batch would make
+                    shape = (len(idx),) + tuple(img_shape)
+                    if tkw["uniform_dequantization"]:
+                        trng.random(shape, np.float32)
+                    if tkw["gaussian_dequantization"]:
+                        trng.standard_normal(shape, np.float32)
                 continue
             if in_memory:
                 if plain:

@@ -5,10 +5,11 @@ faster than XLA on the target shapes (tools/bench_pallas.py on v5e;
 numbers recorded in docs/PALLAS_BENCH.md):
 
 * ``attention`` (ON): flash attention with a hand-written Pallas backward
-  (ops/attention.py). Measured vs XLA at the model shapes — forward
-  1.22x (LDM 4096 tok), 1.72x (CIFAR 256 tok), 1.00x (LSUN 1024 tok);
-  forward+backward 1.54x / 1.30x / 0.98x. Sequences shorter than
-  ``min_tokens=256`` route to XLA.
+  (ops/attention.py). Shipping policy set by IN-MODEL measurement
+  (docs/PALLAS_BENCH.md): the primal/inference path is plain XLA (fusible,
+  never slower); under differentiation the Pallas forward+backward engage
+  for sequences >= ``min_tokens=512`` (celebahq-256 train step +5.3%;
+  CIFAR's 256-token blocks excluded — measured slightly slower there).
 * ``group_norm`` (OFF): fused GroupNorm(+SiLU) (ops/group_norm.py).
   Measured neutral (0.98x) at the largest shape whose working set fits
   VMEM — GN is memory-bound and XLA already emits the minimal two-pass

@@ -333,7 +333,7 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 def flash_attention(q, k, v, scale: float, *,
                     interpret: Optional[bool] = None,
-                    min_tokens: int = 1024):
+                    min_tokens: int = 512):
     """(B, H, N, D) attention. The differentiated path uses the Pallas
     kernels when N >= min_tokens (default 512: excludes the CIFAR 256-token
     blocks where the in-model train step measured slightly slower); the

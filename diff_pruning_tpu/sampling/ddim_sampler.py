@@ -56,6 +56,10 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
     outgrow one chip (LSUN-256, the 400M LDM). GSPMD inserts the
     activation collectives.
     """
+    if cfg.kind == "plms" and cfg.eta != 0.0:
+        # match LatentDiffusion.make_cfg_sampler — silently running eta=0
+        # would misreport the sampler the user asked for (plms.py:49)
+        raise ValueError("PLMS requires eta == 0 (plms.py:49)")
     ts = ddim_timesteps(cfg.num_inference_steps, schedule.num_train_timesteps,
                         cfg.skip_type, style=cfg.style)
     prev = ddim_prev_timesteps(ts, schedule.num_train_timesteps,

@@ -50,6 +50,9 @@ def md5_hash(path: str) -> str:
 
 
 def default_cache_root() -> str:
+    # CWD-relative "./run/cache" (incl. the no-op expanduser) is the
+    # reference's own layout, verbatim (ckpt_util.py:63) — checkpoints land
+    # under the run directory unless XDG_CACHE_HOME overrides.
     cachedir = os.environ.get("XDG_CACHE_HOME",
                               os.path.expanduser("./run/cache"))
     return os.path.join(cachedir, "diffusion_models_converted")

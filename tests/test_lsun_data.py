@@ -49,15 +49,18 @@ def test_lsun_dataset_reads_lmdb(lsun_fixture):
     assert len(ds) == 12
     img = ds.load(0)
     assert img.shape == (16, 16, 3) and img.dtype == np.uint8
-    # resize-shorter-side + center-crop semantics (torchvision Resize+CenterCrop)
+    # torchvision Resize(s)+CenterCrop(s) semantics: short side -> s with
+    # the long side int-truncated, BILINEAR filter, round()ed crop origin
     key = sorted(arrays)[0]
     src = Image.fromarray(arrays[key])
     w, h = src.size
-    s = 16 / min(w, h)
-    ref = src.resize((max(16, round(w * s)), max(16, round(h * s))))
-    w2, h2 = ref.size
-    ref = ref.crop(((w2 - 16) // 2, (h2 - 16) // 2,
-                    (w2 - 16) // 2 + 16, (h2 - 16) // 2 + 16))
+    if w <= h:
+        nw, nh = 16, int(16 * h / w)
+    else:
+        nw, nh = int(16 * w / h), 16
+    ref = src.resize((nw, nh), Image.BILINEAR)
+    left, top = int(round((nw - 16) / 2.0)), int(round((nh - 16) / 2.0))
+    ref = ref.crop((left, top, left + 16, top + 16))
     np.testing.assert_array_equal(img, np.asarray(ref))
 
 

@@ -119,3 +119,19 @@ def test_cfg_plms_sampler_runs():
     assert np.isfinite(np.asarray(lat)).all()
     with pytest.raises(ValueError):
         ldm.make_cfg_sampler(params, ddim_steps=3, eta=0.5, method="plms")
+
+
+def test_plms_rejects_nonzero_eta_everywhere():
+    """make_sampler must reject eta != 0 with PLMS like the LDM CFG sampler
+    does (plms.py:49) instead of silently sampling with eta=0."""
+    import pytest as _pytest
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, tiny_unet_config
+    from diff_pruning_tpu.sampling.ddim_sampler import SamplerConfig, make_sampler
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+
+    model = UNet2D(tiny_unet_config())
+    params = model.init(jax.random.key(0))
+    with _pytest.raises(ValueError, match="eta"):
+        make_sampler(model, params, DiffusionSchedule.create(),
+                     SamplerConfig(num_inference_steps=4, kind="plms", eta=0.5))

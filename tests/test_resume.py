@@ -115,3 +115,35 @@ def test_iterate_batches_skip_matches_stream():
     it_skip = iterate_batches(data, 4, seed=9, skip_batches=7)
     for k in range(7, 12):
         np.testing.assert_array_equal(next(it_skip), full[k])
+
+
+def test_iterate_batches_skip_replays_dequant_rng():
+    """The dequantization RNG must advance during skip too, or a resumed
+    run's input stream diverges on the '+udq'/'+gdq' transform paths."""
+    rng = np.random.default_rng(2)
+    from diff_pruning_tpu.data.datasets import ArrayDataset
+
+    data = ArrayDataset(rng.integers(0, 256, (20, 4, 4, 3), dtype=np.uint8))
+    for tf in ("rescaled+udq", "logit+gdq"):
+        it_full = iterate_batches(data, 4, seed=9, transform=tf)
+        full = [next(it_full) for _ in range(12)]
+        it_skip = iterate_batches(data, 4, seed=9, transform=tf,
+                                  skip_batches=7)
+        for k in range(7, 12):
+            np.testing.assert_array_equal(next(it_skip), full[k])
+
+
+def test_runlog_helpers(tmp_path):
+    from diff_pruning_tpu.utils.runlog import archive_command, chunk_for_intervals
+
+    # chunk divides gcd(save, log) and respects the dispatch cap
+    assert chunk_for_intervals(8, 100, 20) == 5
+    assert chunk_for_intervals(8, 64, 16) == 8
+    assert chunk_for_intervals(1, 100, 10) == 1
+    # archived command is shell-quoted and replayable
+    archive_command(str(tmp_path), "m.cli", ["--output_dir", "/data/my runs/ft"])
+    line = (tmp_path / "run.sh").read_text().strip()
+    assert line == "python -m m.cli --output_dir '/data/my runs/ft'"
+    import shlex
+
+    assert shlex.split(line)[-1] == "/data/my runs/ft"

@@ -47,8 +47,18 @@ def bench_attention():
         q, k, v = (jax.random.normal(kk, (b, h, n, d), dt) for kk in ks)
         scale = d ** -0.5
         tx = bench(jax.jit(lambda q, k, v: reference_attention(q, k, v, scale)), q, k, v)
-        tp = bench(jax.jit(lambda q, k, v: flash_attention(q, k, v, scale, min_tokens=1)), q, k, v)
-        print(f"  {name}: XLA {tx:.2f} ms | pallas {tp:.2f} ms | {tx/tp:.2f}x")
+
+        # the no-grad primal of flash_attention IS plain XLA by design; the
+        # Pallas forward (emitting lse) runs on the differentiated path —
+        # fetch it through jax.vjp or this row would time XLA against XLA
+        def pallas_fwd(q, k, v):
+            out, _ = jax.vjp(
+                lambda a, b, c: flash_attention(a, b, c, scale, min_tokens=1),
+                q, k, v)
+            return out
+
+        tp = bench(jax.jit(pallas_fwd), q, k, v)
+        print(f"  {name}: XLA {tx:.2f} ms | pallas(+lse) {tp:.2f} ms | {tx/tp:.2f}x")
     print("== attention: forward+backward ==")
     for name, b, h, n, d, dt in shapes:
         ks = jax.random.split(jax.random.key(0), 3)
