@@ -51,7 +51,7 @@ def main(argv=None):
                                        batch_size=args.batch_size,
                                        resolution=args.res, resize_mode=mode,
                                        mesh=mesh)
-        save_stats(args.path[1], mu, sigma)
+        save_stats(args.path[1], mu, sigma, resize_mode=mode)
         print(f"saved stats to {args.path[1]}")
         return
 

@@ -128,6 +128,10 @@ def statistics_of_path(
     if path.endswith(".npz"):
         with np.load(path) as z:
             if "mu" in z.files:
+                if "resize_mode" in z.files and str(z["resize_mode"]) != resize_mode:
+                    print(f"warning: stats cache {path} was computed with "
+                          f"resize_mode={z['resize_mode']} but this run uses "
+                          f"{resize_mode} — FID mixes preprocessing families")
                 return z["mu"], z["sigma"]
     from ..data.datasets import get_dataset
 
@@ -149,8 +153,11 @@ def statistics_of_path(
     return activation_statistics(feats)
 
 
-def save_stats(path: str, mu: np.ndarray, sigma: np.ndarray) -> None:
-    np.savez(path, mu=mu, sigma=sigma)
+def save_stats(path: str, mu: np.ndarray, sigma: np.ndarray,
+               resize_mode: str = "torch") -> None:
+    """mu/sigma npz (fid_score.py:266-268 layout) + the preprocessing family
+    it was computed with, so clean/torch stats can't be silently mixed."""
+    np.savez(path, mu=mu, sigma=sigma, resize_mode=np.str_(resize_mode))
 
 
 def fid_between_paths(path1: str, path2: str, inception_params: dict,

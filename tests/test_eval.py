@@ -302,3 +302,14 @@ def test_fid_activations_sharded_matches_single_device():
     got = compute_activations(params, iter(batches), mesh=make_mesh())
     assert got.shape == ref.shape == (21, 2048)
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_stats_cache_records_resize_mode(tmp_path, capsys):
+    from diff_pruning_tpu.eval.fid import save_stats, statistics_of_path
+
+    p = str(tmp_path / "stats.npz")
+    save_stats(p, np.zeros(4), np.eye(4), resize_mode="clean")
+    statistics_of_path(p, None, resize_mode="clean")
+    assert "warning" not in capsys.readouterr().out
+    statistics_of_path(p, None, resize_mode="torch")
+    assert "preprocessing families" in capsys.readouterr().out
