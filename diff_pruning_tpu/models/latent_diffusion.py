@@ -104,7 +104,7 @@ class LatentDiffusion:
                          guidance_scale: float = 3.0, eta: float = 0.0,
                          latent_hw: int = 64, latent_ch: int = 3,
                          mesh=None, data_axis: str = "data",
-                         method: str = "ddim"):
+                         method: str = "ddim", uncond_input=None):
         """Jitted class-conditional CFG sampler over latents.
 
         Batches cond+uncond through one UNet call (x_in = cat([x]*2),
@@ -120,6 +120,7 @@ class LatentDiffusion:
         prev = ddim_prev_timesteps(ts)
         ts_j, prev_j = jnp.asarray(ts, jnp.int32), jnp.asarray(prev, jnp.int32)
         uc = self.uncond_class
+        uncond = uncond_input  # e.g. tokenized "" rows for a text cond stage
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -136,8 +137,14 @@ class LatentDiffusion:
                     f"batch {batch_size} not divisible by data axis {n_shards}")
                 labels = jax.lax.with_sharding_constraint(labels, data_sh)
             ctx_c = self.get_learned_conditioning(params, labels)
-            ctx_u = self.get_learned_conditioning(
-                params, jnp.full((batch_size,), uc, jnp.int32))
+            if uncond is not None:
+                u = jnp.asarray(uncond)
+                if u.shape[0] == 1:
+                    u = jnp.broadcast_to(u, (batch_size,) + u.shape[1:])
+                ctx_u = self.get_learned_conditioning(params, u)
+            else:
+                ctx_u = self.get_learned_conditioning(
+                    params, jnp.full((batch_size,), uc, jnp.int32))
             ctx = jnp.concatenate([ctx_u, ctx_c], axis=0)
             key, ik = jax.random.split(key)
             x = jax.random.normal(ik, (batch_size, latent_hw, latent_hw, latent_ch))
