@@ -25,7 +25,8 @@ def main():
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--config", default="cifar10",
-                   choices=["cifar10", "celeba", "lsun"])
+                   choices=["cifar10", "celeba", "lsun",          # ddim kind
+                            "cin256-v2", "txt2img-1p4B"])         # compvis kind
     args = p.parse_args()
 
     if args.kind == "diffusers":
@@ -67,7 +68,9 @@ def main():
     elif args.kind == "compvis":
         import torch
 
-        from diff_pruning_tpu.models.unet_cond import UNetCond, cin256_v2_config
+        from diff_pruning_tpu.models.unet_cond import (UNetCond,
+                                                       cin256_v2_config,
+                                                       txt2img_1p4B_config)
         from diff_pruning_tpu.utils.checkpoint import save_model, save_params_npz
         from diff_pruning_tpu.utils.convert import ldm_unet_state_dict_to_params
 
@@ -75,20 +78,42 @@ def main():
         sd = pl_sd.get("state_dict", pl_sd)
         unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
                    if k.startswith("model.diffusion_model.")}
-        cfg = cin256_v2_config()
+        cfg = (txt2img_1p4B_config if args.config == "txt2img-1p4B"
+               else cin256_v2_config)()
         params = ldm_unet_state_dict_to_params(unet_sd)
         UNetCond(cfg).graph.validate(params)
         save_model(args.dst, cfg, params)
-        # class embedder (cond_stage_model.embedding.weight)
-        emb = {k: v for k, v in sd.items() if k.startswith("cond_stage_model.")}
-        if emb:
+        subs = ["unet"]
+        cond = {k: v for k, v in sd.items() if k.startswith("cond_stage_model.")}
+        if any(k.startswith("cond_stage_model.transformer.") for k in cond):
+            # BERTEmbedder (txt2img-1p4B): the x-transformers TransformerWrapper
+            from diff_pruning_tpu.models.text_encoder import (
+                BERTEmbedder, bert_txt2img_config)
+            from diff_pruning_tpu.utils.convert import (
+                bert_embedder_state_dict_to_params)
+
+            tsd = {k[len("cond_stage_model.transformer."):]: v
+                   for k, v in cond.items()
+                   if k.startswith("cond_stage_model.transformer.")}
+            bcfg = bert_txt2img_config()
+            bparams = bert_embedder_state_dict_to_params(tsd)
+            BERTEmbedder(bcfg).graph.validate(bparams)
+            os.makedirs(os.path.join(args.dst, "cond_stage"), exist_ok=True)
+            with open(os.path.join(args.dst, "cond_stage", "config.json"), "w") as f:
+                f.write(bcfg.to_json())
+            save_params_npz(os.path.join(args.dst, "cond_stage", "params.npz"),
+                            bparams)
+            subs.append("cond_stage[bert]")
+        elif "cond_stage_model.embedding.weight" in cond:
+            # ClassEmbedder (cin256-v2)
             import numpy as np
 
-            w = np.asarray(emb["cond_stage_model.embedding.weight"])
+            w = np.asarray(cond["cond_stage_model.embedding.weight"])
             os.makedirs(os.path.join(args.dst, "cond_stage"), exist_ok=True)
             save_params_npz(os.path.join(args.dst, "cond_stage", "params.npz"),
                             {"embedding": {"weight": w}})
-        print(f"wrote {args.dst}/unet (+cond_stage)")
+            subs.append("cond_stage[class]")
+        print(f"wrote {args.dst}/" + " + ".join(subs))
 
     elif args.kind == "inception":
         import torch
