@@ -71,6 +71,9 @@ def load_unet(model_path: str):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     args = parse_args(argv)
     import jax
     import jax.numpy as jnp

@@ -40,6 +40,9 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     args = parse_args(argv)
     import jax
 

@@ -79,6 +79,9 @@ def load_ldm(model_path, config_path, seed=0):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     args = parse_args(argv)
     import jax
     import jax.numpy as jnp

@@ -9,6 +9,9 @@ import os
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_path", type=str, required=True)
     p.add_argument("--output_dir", type=str, required=True)

@@ -77,6 +77,9 @@ def load_txt2img(model_path, seed=0):
 
 
 def main(argv=None):
+    from ..utils.compile_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     args = parse_args(argv)
     import jax
     import jax.numpy as jnp
