@@ -45,6 +45,11 @@ class AutoencoderConfig:
     vq_embed_dim: Optional[int] = None
     scaling_factor: float = 0.18215  # KL latent scaling (SD convention)
     mid_block_attention: bool = True
+    # CompVis ddconfig attn_resolutions (ldm model.py Encoder:490,534 /
+    # Decoder:613,648): spatial self-attention after every resnet at these
+    # resolutions. `sample_size` is the training resolution the levels halve
+    # from. Empty (the diffusers VAE case) => mid-block attention only.
+    attn_resolutions: Tuple[int, ...] = ()
     channel_sizes: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     def to_json(self) -> str:
@@ -57,7 +62,8 @@ class AutoencoderConfig:
         d = json.loads(text)
         fields = {f.name for f in dataclasses.fields(cls)}
         kw = {k: v for k, v in d.items() if k in fields}
-        for key in ("down_block_types", "up_block_types", "block_out_channels"):
+        for key in ("down_block_types", "up_block_types", "block_out_channels",
+                    "attn_resolutions"):
             if key in kw:
                 kw[key] = tuple(kw[key])
         return cls(**kw)
@@ -120,20 +126,27 @@ class Encoder:
         self.conv_in = Conv2D(scope("conv_in"), v_in, v0, 3, 1, 1)
         cur, cur_d = v0, cfg.block_out_channels[0]
         self.down_blocks = []
+        curr_res = cfg.sample_size
         for i in range(len(cfg.block_out_channels)):
             out_d = cfg.block_out_channels[i]
             bscope = scope(f"down_blocks/{i}")
-            resnets = []
+            resnets, attns = [], []
             for j in range(cfg.layers_per_block):
                 r = _VaeResnet(bscope(f"resnets/{j}"), g, cfg, cur, out_d, cur_d)
                 resnets.append(r)
                 cur, cur_d = r.out, out_d
+                if curr_res in cfg.attn_resolutions:
+                    inner = mkvar(f"{bscope.path}/attentions/{j}/inner", out_d)
+                    attns.append(SelfAttention2D(
+                        bscope(f"attentions/{j}"), cur, inner, heads=1,
+                        norm_num_groups=cfg.norm_num_groups, eps=1e-6))
             ds = None
             if i < len(cfg.block_out_channels) - 1:
                 dsv = mkvar(f"{scope.path}/down_blocks/{i}/downsamplers/0/out", out_d)
                 ds = Conv2D(bscope("downsamplers/0/conv"), cur, dsv, 3, 2, 0)
                 cur, cur_d = dsv, out_d
-            self.down_blocks.append((resnets, ds))
+                curr_res //= 2
+            self.down_blocks.append((resnets, attns, ds))
         mscope = scope("mid_block")
         self.mid_res1 = _VaeResnet(mscope("resnets/0"), g, cfg, cur, cur_d, cur_d)
         cur = self.mid_res1.out
@@ -163,8 +176,10 @@ class Encoder:
              "conv_out": self.conv_out.init(nk())}
         if self.mid_attn is not None:
             p["mid_block"]["attentions"] = {"0": self.mid_attn.init(nk())}
-        for i, (resnets, ds) in enumerate(self.down_blocks):
+        for i, (resnets, attns, ds) in enumerate(self.down_blocks):
             bp = {"resnets": {str(j): r.init(nk()) for j, r in enumerate(resnets)}}
+            if attns:
+                bp["attentions"] = {str(j): a.init(nk()) for j, a in enumerate(attns)}
             if ds is not None:
                 bp["downsamplers"] = {"0": {"conv": ds.init(nk())}}
             p["down_blocks"][str(i)] = bp
@@ -172,10 +187,12 @@ class Encoder:
 
     def __call__(self, p, x):
         h = self.conv_in(p["conv_in"], x)
-        for i, (resnets, ds) in enumerate(self.down_blocks):
+        for i, (resnets, attns, ds) in enumerate(self.down_blocks):
             bp = p["down_blocks"][str(i)]
             for j, r in enumerate(resnets):
                 h = r(bp["resnets"][str(j)], h)
+                if attns:
+                    h = attns[j](bp["attentions"][str(j)], h)
             if ds is not None:
                 h = downsample_pad(h)  # downsample_padding=0 (vae.py:80)
                 h = ds(bp["downsamplers"]["0"]["conv"], h)
@@ -217,20 +234,27 @@ class Decoder:
         self.mid_res2 = _VaeResnet(mscope("resnets/1"), g, cfg, cur, cur_d, cur_d)
         cur = self.mid_res2.out
         self.up_blocks = []
+        curr_res = cfg.sample_size // (2 ** (len(rev) - 1))
         for i in range(len(rev)):
             out_d = rev[i]
             bscope = scope(f"up_blocks/{i}")
-            resnets = []
+            resnets, attns = [], []
             for j in range(cfg.layers_per_block + 1):
                 r = _VaeResnet(bscope(f"resnets/{j}"), g, cfg, cur, out_d, cur_d)
                 resnets.append(r)
                 cur, cur_d = r.out, out_d
+                if curr_res in cfg.attn_resolutions:
+                    inner = mkvar(f"{bscope.path}/attentions/{j}/inner", out_d)
+                    attns.append(SelfAttention2D(
+                        bscope(f"attentions/{j}"), cur, inner, heads=1,
+                        norm_num_groups=cfg.norm_num_groups, eps=1e-6))
             us = None
             if i < len(rev) - 1:
                 usv = mkvar(f"{scope.path}/up_blocks/{i}/upsamplers/0/out", out_d)
                 us = Conv2D(bscope("upsamplers/0/conv"), cur, usv, 3, 1, 1)
                 cur, cur_d = usv, out_d
-            self.up_blocks.append((resnets, us))
+                curr_res *= 2
+            self.up_blocks.append((resnets, attns, us))
         self.conv_norm_out = GroupNorm(scope("conv_norm_out"), cur,
                                        cfg.norm_num_groups, 1e-6)
         self.conv_out = Conv2D(scope("conv_out"), cur, self.v_out, 3, 1, 1)
@@ -250,29 +274,39 @@ class Decoder:
              "conv_out": self.conv_out.init(nk())}
         if self.mid_attn is not None:
             p["mid_block"]["attentions"] = {"0": self.mid_attn.init(nk())}
-        for i, (resnets, us) in enumerate(self.up_blocks):
+        for i, (resnets, attns, us) in enumerate(self.up_blocks):
             bp = {"resnets": {str(j): r.init(nk()) for j, r in enumerate(resnets)}}
+            if attns:
+                bp["attentions"] = {str(j): a.init(nk()) for j, a in enumerate(attns)}
             if us is not None:
                 bp["upsamplers"] = {"0": {"conv": us.init(nk())}}
             p["up_blocks"][str(i)] = bp
         return p
 
-    def __call__(self, p, z):
+    def features(self, p, z):
+        """Everything up to (excluding) conv_out — the GAN trainer's adaptive
+        d_weight differentiates through conv_out alone (the reference's
+        `get_last_layer()` = decoder.conv_out.weight, autoencoder.py:397-398),
+        so it needs the trunk output separately."""
         h = self.conv_in(p["conv_in"], z)
         mp = p["mid_block"]
         h = self.mid_res1(mp["resnets"]["0"], h)
         if self.mid_attn is not None:
             h = self.mid_attn(mp["attentions"]["0"], h)
         h = self.mid_res2(mp["resnets"]["1"], h)
-        for i, (resnets, us) in enumerate(self.up_blocks):
+        for i, (resnets, attns, us) in enumerate(self.up_blocks):
             bp = p["up_blocks"][str(i)]
             for j, r in enumerate(resnets):
                 h = r(bp["resnets"][str(j)], h)
+                if attns:
+                    h = attns[j](bp["attentions"][str(j)], h)
             if us is not None:
                 h = upsample_nearest_2x(h)
                 h = us(bp["upsamplers"]["0"]["conv"], h)
-        h = silu(self.conv_norm_out(p["conv_norm_out"], h))
-        return self.conv_out(p["conv_out"], h)
+        return silu(self.conv_norm_out(p["conv_norm_out"], h))
+
+    def __call__(self, p, z):
+        return self.conv_out(p["conv_out"], self.features(p, z))
 
 
 class VQModel:
@@ -321,6 +355,19 @@ class VQModel:
         zq = emb[idx].reshape(z.shape)
         return zq, idx.reshape(z.shape[:-1])
 
+    def quantize_train(self, p, z, beta: float = 0.25):
+        """Training-mode quantize: straight-through estimator + codebook loss
+        (taming VectorQuantizer2 with its default legacy=True weighting, as
+        instantiated by ldm autoencoder.py:39-41 with beta=0.25):
+        loss = mean((sg[zq]-z)^2) + beta * mean((zq-sg[z])^2).
+
+        Returns (zq_straight_through, codebook_loss, indices)."""
+        zq, idx = self.quantize(p, z)
+        sg = jax.lax.stop_gradient
+        loss = (jnp.mean(jnp.square(sg(zq) - z))
+                + beta * jnp.mean(jnp.square(zq - sg(z))))
+        return z + sg(zq - z), loss, idx
+
     def decode(self, p, z, force_not_quantize: bool = True):
         if not force_not_quantize:
             z, _ = self.quantize(p, z)
@@ -363,3 +410,49 @@ class AutoencoderKL:
 
     def decode(self, p, z):
         return self.decoder(p["decoder"], self.post_quant_conv(p["post_quant_conv"], z))
+
+
+# ---------------------------------------------------------------------------
+# First-stage model zoo presets (ldm_exp/models/first_stage_models/*/config.yaml
+# ddconfigs; ch=128, num_res_blocks=2, resolution 256 throughout). Names match
+# the reference directories.
+
+
+def _first_stage(ch_mult, z, *, double_z, n_embed=None, embed_dim=None,
+                 attn=(), mid_attn=True):
+    return AutoencoderConfig(
+        block_out_channels=tuple(128 * m for m in ch_mult),
+        layers_per_block=2, latent_channels=z, sample_size=256,
+        num_vq_embeddings=n_embed, vq_embed_dim=embed_dim,
+        attn_resolutions=tuple(attn), mid_block_attention=mid_attn)
+
+
+FIRST_STAGE_PRESETS = {
+    # KL (LPIPSWithDiscriminator, double_z)
+    "kl-f4": lambda: _first_stage((1, 2, 4), 3, double_z=True),
+    "kl-f8": lambda: _first_stage((1, 2, 4, 4), 4, double_z=True),
+    "kl-f16": lambda: _first_stage((1, 1, 2, 2, 4), 16, double_z=True,
+                                   attn=(16,)),
+    "kl-f32": lambda: _first_stage((1, 1, 2, 2, 4, 4), 64, double_z=True,
+                                   attn=(16, 8)),
+    # VQ (VQLPIPSWithDiscriminator)
+    "vq-f4": lambda: _first_stage((1, 2, 4), 3, double_z=False,
+                                  n_embed=8192, embed_dim=3),
+    "vq-f4-noattn": lambda: _first_stage((1, 2, 4), 3, double_z=False,
+                                         n_embed=8192, embed_dim=3,
+                                         mid_attn=False),
+    "vq-f8": lambda: _first_stage((1, 2, 2, 4), 4, double_z=False,
+                                  n_embed=16384, embed_dim=4, attn=(32,)),
+    "vq-f8-n256": lambda: _first_stage((1, 2, 2, 4), 4, double_z=False,
+                                       n_embed=256, embed_dim=4, attn=(32,)),
+    "vq-f16": lambda: _first_stage((1, 1, 2, 2, 4), 8, double_z=False,
+                                   n_embed=16384, embed_dim=8, attn=(16,)),
+}
+
+
+def first_stage_config(name: str) -> AutoencoderConfig:
+    return FIRST_STAGE_PRESETS[name]()
+
+
+def make_first_stage(cfg: AutoencoderConfig):
+    return VQModel(cfg) if cfg.num_vq_embeddings else AutoencoderKL(cfg)

@@ -284,3 +284,162 @@ def bert_embedder_state_dict_to_params(sd: Mapping[str, "object"]) -> dict:
         flat[f"{pre}/ff/fc2/kernel"] = arr(f"{f}.1.net.2.weight", t=True)
         flat[f"{pre}/ff/fc2/bias"] = arr(f"{f}.1.net.2.bias")
     return unflatten_params(flat)
+
+
+def infer_compvis_vae_config(sd: Mapping[str, "object"], resolution: int = 256):
+    """Derive an AutoencoderConfig from a CompVis first-stage state_dict
+    (ldm autoencoder.py VQModel/AutoencoderKL over ldm model.py
+    Encoder/Decoder). Every ddconfig field is recoverable from shapes/keys
+    except the training resolution (all zoo models use 256 —
+    models/first_stage_models/*/config.yaml)."""
+    from ..models.vae import AutoencoderConfig
+
+    def shape(k):
+        v = sd[k]
+        return tuple(v.shape)
+
+    in_channels = shape("encoder.conv_in.weight")[1]
+    blocks = []
+    i = 0
+    while f"encoder.down.{i}.block.0.conv1.weight" in sd:
+        blocks.append(shape(f"encoder.down.{i}.block.0.conv1.weight")[0])
+        i += 1
+    num_levels = i
+    j = 0
+    while f"encoder.down.0.block.{j}.conv1.weight" in sd:
+        j += 1
+    enc_out = shape("encoder.conv_out.weight")[0]
+    z_channels = shape("decoder.conv_in.weight")[1]
+    double_z = enc_out == 2 * z_channels
+    attn_res = tuple(sorted({resolution // (2 ** k) for k in range(num_levels)
+                             if f"encoder.down.{k}.attn.0.norm.weight" in sd},
+                            reverse=True))
+    vq = "quantize.embedding.weight" in sd
+    if vq:
+        n_embed, embed_dim = shape("quantize.embedding.weight")
+    else:
+        embed_dim = shape("post_quant_conv.weight")[1]
+        n_embed = None
+    assert embed_dim == z_channels, (
+        "zoo models all use embed_dim == z_channels; a differing pair needs "
+        "a quant-dim extension")
+    return AutoencoderConfig(
+        in_channels=in_channels, out_channels=shape("decoder.conv_out.weight")[0],
+        block_out_channels=tuple(blocks), layers_per_block=j,
+        latent_channels=z_channels, sample_size=resolution,
+        num_vq_embeddings=n_embed, vq_embed_dim=embed_dim if vq else None,
+        attn_resolutions=attn_res,
+        mid_block_attention="encoder.mid.attn_1.norm.weight" in sd)
+
+
+def compvis_vae_state_dict_to_params(sd: Mapping[str, "object"],
+                                     num_levels: int) -> dict:
+    """CompVis first-stage (ldm model.py Encoder/Decoder + quantize/quant
+    convs) state_dict -> VQModel/AutoencoderKL params pytree.
+
+    The CompVis encoder/decoder use the pytorch_diffusion naming the DDIM
+    UNet also uses (down.{i}.block.{j}, mid.block_1/attn_1/block_2, attn
+    q/k/v as 1x1 convs, nin_shortcut, norm_out) — same name plan as
+    ddim_original_state_dict_to_params minus the time embedding, applied
+    under the encoder./decoder. prefixes. `loss.*` (LPIPS/discriminator)
+    keys are dropped: the perceptual loss lives in eval/lpips.py and the
+    discriminator in models/discriminator.py with their own converters.
+    """
+    flat: Dict[str, np.ndarray] = {}
+    for name, tensor in sd.items():
+        if name.startswith("loss."):
+            continue
+        arr = np.asarray(tensor.detach().cpu().numpy()
+                         if hasattr(tensor, "detach") else tensor)
+        parts = name.split(".")
+        prefix = parts[0]
+        if prefix in ("encoder", "decoder"):
+            rest = parts[1:]
+            is_attn = (len(rest) > 2 and rest[2] == "attn") or (
+                rest[0] == "mid" and rest[1] == "attn_1")
+            n = ".".join(rest)
+            n = n.replace("norm_out.", "conv_norm_out.")
+            n = n.replace("mid.block_1.", "mid_block.resnets.0.")
+            n = n.replace("mid.block_2.", "mid_block.resnets.1.")
+            n = n.replace("mid.attn_1.", "mid_block.attentions.0.")
+            if n.startswith("down."):
+                n = "down_blocks." + n[len("down."):]
+            if n.startswith("up."):
+                segs = n.split(".")
+                segs[0] = "up_blocks"
+                # CompVis indexes up levels by resolution (executed in
+                # reverse, model.py Decoder:679), ours by application order
+                segs[1] = str(num_levels - 1 - int(segs[1]))
+                n = ".".join(segs)
+            n = n.replace(".block.", ".resnets.")
+            n = n.replace(".attn.", ".attentions.")
+            n = n.replace(".downsample.conv.", ".downsamplers.0.conv.")
+            n = n.replace(".upsample.conv.", ".upsamplers.0.conv.")
+            n = n.replace(".nin_shortcut.", ".conv_shortcut.")
+            if is_attn:
+                n = n.replace(".norm.", ".group_norm.")
+                n = n.replace(".q.", ".to_q.")
+                n = n.replace(".k.", ".to_k.")
+                n = n.replace(".v.", ".to_v.")
+                n = n.replace(".proj_out.", ".to_out.")
+                if arr.ndim == 4:  # 1x1 conv -> linear kernel (I, O)
+                    arr = arr[:, :, 0, 0].transpose(1, 0)
+                    flat["/".join([prefix] + n.split(".")[:-1] + ["kernel"])] = arr
+                    continue
+            n = prefix + "." + n
+        elif prefix in ("quant_conv", "post_quant_conv", "quantize"):
+            n = name.replace("quantize.embedding.", "quantize.embedding#")
+        else:
+            continue
+        parts = n.replace("#", ".").split(".")
+        leaf, stem = parts[-1], parts[:-1]
+        if leaf == "weight":
+            if name.startswith("quantize.embedding."):
+                pass  # (n_embed, dim) embedding table keeps its layout
+            elif arr.ndim == 4:
+                arr, leaf = arr.transpose(2, 3, 1, 0), "kernel"
+            elif arr.ndim == 2:
+                arr, leaf = arr.transpose(1, 0), "kernel"
+            else:
+                leaf = "scale"
+        flat["/".join(stem + [leaf])] = arr
+    return unflatten_params(flat)
+
+
+def torch_discriminator_state_dict_to_params(sd: Mapping[str, "object"],
+                                             n_layers: int = 3) -> dict:
+    """taming NLayerDiscriminator state_dict (`loss.discriminator.*` inside a
+    first-stage checkpoint, stripped of that prefix) -> params for
+    models/discriminator.NLayerDiscriminator.
+
+    torch layout: main.{seq}.* where seq counts Sequential entries:
+    conv(0), leaky(1), then per block [conv, norm, leaky], final conv.
+    """
+    # sequential index of each block's conv / norm
+    conv_idx = {0: 0}
+    norm_idx = {}
+    pos = 2
+    for b in range(1, n_layers + 1):
+        conv_idx[b] = pos
+        norm_idx[b] = pos + 1
+        pos += 3
+    conv_idx["out"] = pos
+
+    def arr(k):
+        v = sd[k]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    out: Dict[str, np.ndarray] = {}
+    for b, ci in conv_idx.items():
+        w = arr(f"main.{ci}.weight")
+        out[f"main/{b}/conv/kernel"] = w.transpose(2, 3, 1, 0)
+        if f"main.{ci}.bias" in sd:
+            out[f"main/{b}/conv/bias"] = arr(f"main.{ci}.bias")
+    for b, ni in norm_idx.items():
+        if f"main.{ni}.weight" in sd:  # BatchNorm
+            out[f"main/{b}/norm/scale"] = arr(f"main.{ni}.weight")
+            out[f"main/{b}/norm/bias"] = arr(f"main.{ni}.bias")
+        else:  # ActNorm (loc/scale shaped (1,C,1,1))
+            out[f"main/{b}/norm/scale"] = arr(f"main.{ni}.scale").reshape(-1)
+            out[f"main/{b}/norm/loc"] = arr(f"main.{ni}.loc").reshape(-1)
+    return unflatten_params(out)

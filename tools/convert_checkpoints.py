@@ -6,10 +6,12 @@ cifar10.py and convert_ldm_original_checkpoint_to_diffusers.py, targeting
 this framework's (config.json, params.npz) layout, plus the FID inception
 weights and diffusers save_pretrained dirs.
 
-  python tools/convert_checkpoints.py diffusers  <hf_model_dir> <out_dir>
-  python tools/convert_checkpoints.py ddim       <ckpt.pth> <out_dir> --config cifar10|celeba|lsun
-  python tools/convert_checkpoints.py compvis    <model.ckpt> <out_dir>   # cin256-v2 LDM
-  python tools/convert_checkpoints.py inception  <pt_inception.pth> <out.npz>
+  python tools/convert_checkpoints.py diffusers   <hf_model_dir> <out_dir>
+  python tools/convert_checkpoints.py ddim        <ckpt.pth> <out_dir> --config cifar10|celeba|lsun
+  python tools/convert_checkpoints.py compvis     <model.ckpt> <out_dir>   # cin256-v2 LDM (+first stage)
+  python tools/convert_checkpoints.py first-stage <model.ckpt> <out_dir>   # kl-f*/vq-f* autoencoder
+  python tools/convert_checkpoints.py inception   <pt_inception.pth> <out.npz>
+  python tools/convert_checkpoints.py lpips       <vgg16.pth> <out.npz> --lin <vgg_lpips.ckpt>
 """
 
 import argparse
@@ -19,14 +21,39 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _write_first_stage(sd, dst, resolution):
+    """CompVis first-stage state_dict (standalone kl-f*/vq-f* model.ckpt, or
+    the first_stage_model.* slice of a full LDM ckpt) -> dst/first_stage."""
+    from diff_pruning_tpu.models.vae import make_first_stage
+    from diff_pruning_tpu.utils.checkpoint import save_params_npz
+    from diff_pruning_tpu.utils.convert import (compvis_vae_state_dict_to_params,
+                                                infer_compvis_vae_config)
+
+    cfg = infer_compvis_vae_config(sd, resolution=resolution)
+    params = compvis_vae_state_dict_to_params(
+        sd, num_levels=len(cfg.block_out_channels))
+    make_first_stage(cfg).graph.validate(params)
+    d = os.path.join(dst, "first_stage")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    save_params_npz(os.path.join(d, "params.npz"), params)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=["diffusers", "ddim", "compvis", "inception"])
+    p.add_argument("kind", choices=["diffusers", "ddim", "compvis",
+                                    "first-stage", "inception", "lpips"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--config", default="cifar10",
                    choices=["cifar10", "celeba", "lsun",          # ddim kind
                             "cin256-v2", "txt2img-1p4B"])         # compvis kind
+    p.add_argument("--lin", default=None,
+                   help="lpips kind: taming vgg_lpips lin-head checkpoint")
+    p.add_argument("--resolution", type=int, default=256,
+                   help="first-stage kind: training resolution (all zoo "
+                        "models are 256); fixes attn_resolutions inference")
     args = p.parse_args()
 
     if args.kind == "diffusers":
@@ -113,7 +140,36 @@ def main():
             save_params_npz(os.path.join(args.dst, "cond_stage", "params.npz"),
                             {"embedding": {"weight": w}})
             subs.append("cond_stage[class]")
+        fs = {k[len("first_stage_model."):]: v for k, v in sd.items()
+              if k.startswith("first_stage_model.")}
+        if fs:
+            _write_first_stage(fs, args.dst, args.resolution)
+            subs.append("first_stage")
         print(f"wrote {args.dst}/" + " + ".join(subs))
+
+    elif args.kind == "first-stage":
+        import torch
+
+        pl_sd = torch.load(args.src, map_location="cpu", weights_only=False)
+        sd = pl_sd.get("state_dict", pl_sd)
+        _write_first_stage(sd, args.dst, args.resolution)
+        print(f"wrote {args.dst}/first_stage")
+
+    elif args.kind == "lpips":
+        import torch
+
+        from diff_pruning_tpu.eval.lpips import torch_lpips_state_dicts_to_params
+        from diff_pruning_tpu.utils.checkpoint import save_params_npz
+
+        if not args.lin:
+            p.error("lpips kind needs --lin <vgg_lpips.ckpt> (the taming "
+                    "lin-head checkpoint)")
+        vgg_sd = torch.load(args.src, map_location="cpu", weights_only=True)
+        lin_sd = torch.load(args.lin, map_location="cpu", weights_only=True)
+        lin_sd = lin_sd.get("state_dict", lin_sd)
+        params = torch_lpips_state_dicts_to_params(vgg_sd, lin_sd)
+        save_params_npz(args.dst, params)
+        print(f"wrote {args.dst}")
 
     elif args.kind == "inception":
         import torch
