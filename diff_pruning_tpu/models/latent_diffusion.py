@@ -191,3 +191,53 @@ class LatentDiffusion:
         z = latents / self.scale_factor
         img = self.first_stage.decode(params["first_stage"], z)
         return jnp.clip((img + 1.0) / 2.0, 0.0, 1.0)
+
+
+def make_concat_sampler(unet, unet_params, schedule: DiffusionSchedule, *,
+                        ddim_steps: int = 50, eta: float = 0.0,
+                        latent_ch: int = 3, method: str = "ddim"):
+    """Concat-mode conditional DDIM/PLMS sampler (`concat_mode: true`
+    LatentDiffusion — the inpainting_big model): at every step the fixed
+    conditioning planes ride along the channel axis,
+    eps = unet(cat([x, cond], C), t) (ddpm.py apply_model's c_concat path;
+    driven by scripts/inpaint.py:76-86).
+
+    Returns jitted sample(key, cond) -> latents; cond is (B, h, w, Cc) with
+    unet.cfg.in_channels == latent_ch + Cc.
+    """
+    ts = compvis_ddim_timesteps(ddim_steps, schedule.num_train_timesteps)
+    prev = ddim_prev_timesteps(ts)
+    ts_j, prev_j = jnp.asarray(ts, jnp.int32), jnp.asarray(prev, jnp.int32)
+
+    @jax.jit
+    def sample(key, cond):
+        b, h, w = cond.shape[:3]
+        key, ik = jax.random.split(key)
+        x = jax.random.normal(ik, (b, h, w, latent_ch), cond.dtype)
+
+        def eps_fn(x, t):
+            tb = jnp.full((b,), t, jnp.int32)
+            return unet(unet_params, jnp.concatenate([x, cond], axis=-1), tb)
+
+        if method == "plms":
+            from ..schedulers.plms import plms_sample
+
+            return plms_sample(eps_fn, schedule, x, ts_j, prev_j,
+                               clip_sample=False)
+
+        def step(carry, inp):
+            x, key = carry
+            t, tp = inp
+            eps = eps_fn(x, t)
+            noise = None
+            if eta > 0:
+                key, nk = jax.random.split(key)
+                noise = jax.random.normal(nk, x.shape)
+            x = ddim_step(schedule, x, eps, t, tp, eta=eta,
+                          clip_sample=False, noise=noise)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x, key), (ts_j, prev_j))
+        return x
+
+    return sample

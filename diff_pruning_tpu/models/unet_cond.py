@@ -516,6 +516,18 @@ def txt2img_1p4B_config() -> UNetCondConfig:
         context_dim=1280)
 
 
+def inpainting_big_config() -> UNetCondConfig:
+    """models/ldm/inpainting_big/config.yaml unet_config: concat-mode
+    conditioning — in_channels 7 = 3 latent + 3 masked-image latent + 1
+    downsampled mask (scripts/inpaint.py:76-80); AttentionBlock UNet with
+    resblock up/downsampling, VQ-f4-noattn first stage."""
+    return UNetCondConfig(
+        image_size=64, in_channels=7, out_channels=3, model_channels=256,
+        num_res_blocks=2, attention_resolutions=(8, 4, 2),
+        channel_mult=(1, 2, 3, 4), num_heads=8, context_dim=None,
+        use_spatial_transformer=False, resblock_updown=True)
+
+
 def tiny_cond_config() -> UNetCondConfig:
     return UNetCondConfig(
         image_size=8, in_channels=3, out_channels=3, model_channels=32,

@@ -144,6 +144,7 @@ def test_zoo_preset_param_counts():
     openaimodel instantiation (exact)."""
     from diff_pruning_tpu.models.unet_cond import (celebahq_ldm_vq4_config,
                                                    cin_ldm_vq_f8_config,
+                                                   inpainting_big_config,
                                                    lsun_churches_ldm_kl8_config)
 
     def n_jax(cfg):
@@ -157,6 +158,7 @@ def test_zoo_preset_param_counts():
     assert n_jax(celebahq_ldm_vq4_config()) == 274_056_163
     assert n_jax(lsun_churches_ldm_kl8_config()) == 294_966_916
     assert n_jax(cin_ldm_vq_f8_config()) == 394_984_196
+    assert n_jax(inpainting_big_config()) == 387_245_827
 
 
 def test_attnblock_prune_rebuild():

@@ -48,7 +48,8 @@ def main():
     p.add_argument("dst")
     p.add_argument("--config", default="cifar10",
                    choices=["cifar10", "celeba", "lsun",          # ddim kind
-                            "cin256-v2", "txt2img-1p4B"])         # compvis kind
+                            "cin256-v2", "txt2img-1p4B",          # compvis kind
+                            "inpainting_big"])
     p.add_argument("--lin", default=None,
                    help="lpips kind: taming vgg_lpips lin-head checkpoint")
     p.add_argument("--resolution", type=int, default=256,
@@ -97,6 +98,7 @@ def main():
 
         from diff_pruning_tpu.models.unet_cond import (UNetCond,
                                                        cin256_v2_config,
+                                                       inpainting_big_config,
                                                        txt2img_1p4B_config)
         from diff_pruning_tpu.utils.checkpoint import save_model, save_params_npz
         from diff_pruning_tpu.utils.convert import ldm_unet_state_dict_to_params
@@ -105,8 +107,9 @@ def main():
         sd = pl_sd.get("state_dict", pl_sd)
         unet_sd = {k[len("model.diffusion_model."):]: v for k, v in sd.items()
                    if k.startswith("model.diffusion_model.")}
-        cfg = (txt2img_1p4B_config if args.config == "txt2img-1p4B"
-               else cin256_v2_config)()
+        cfg = {"txt2img-1p4B": txt2img_1p4B_config,
+               "inpainting_big": inpainting_big_config}.get(
+                   args.config, cin256_v2_config)()
         params = ldm_unet_state_dict_to_params(unet_sd)
         UNetCond(cfg).graph.validate(params)
         save_model(args.dst, cfg, params)
