@@ -59,6 +59,20 @@ class ClassEmbedder:
         return p["embedding"]["weight"][labels][:, None, :]
 
 
+class IdentityCondStage:
+    """`cond_stage_config: torch.nn.Identity` (the RDM yaml,
+    configs/retrieval-augmented-diffusion/768x768.yaml): conditioning is
+    precomputed CLIP embeddings handed straight to cross-attention —
+    `labels` arguments become (B, N, context_dim) context arrays."""
+
+    def init(self, key):
+        del key
+        return {}
+
+    def __call__(self, p, cond):
+        return cond
+
+
 class LatentDiffusion:
     """Bundles (unet, class embedder, first stage) + schedule; the pruning
     target is unet only (model.model.diffusion_model in the reference)."""

@@ -516,6 +516,18 @@ def txt2img_1p4B_config() -> UNetCondConfig:
         context_dim=1280)
 
 
+def rdm768_config() -> UNetCondConfig:
+    """configs/retrieval-augmented-diffusion/768x768.yaml unet_config: the
+    retrieval-augmented LDM sampled by scripts/knn2img.py (1.34B params;
+    crossattn over CLIP ViT-L/14 embeddings, KL-f16 first stage at 48x48x16
+    latents, scale_factor 0.22765929, linear_end 0.015)."""
+    return UNetCondConfig(
+        image_size=48, in_channels=16, out_channels=16, model_channels=448,
+        num_res_blocks=2, attention_resolutions=(4, 2, 1),
+        channel_mult=(1, 2, 3, 4), num_head_channels=32,
+        transformer_depth=1, context_dim=768)
+
+
 def inpainting_big_config() -> UNetCondConfig:
     """models/ldm/inpainting_big/config.yaml unet_config: concat-mode
     conditioning — in_channels 7 = 3 latent + 3 masked-image latent + 1

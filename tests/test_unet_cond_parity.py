@@ -145,7 +145,8 @@ def test_zoo_preset_param_counts():
     from diff_pruning_tpu.models.unet_cond import (celebahq_ldm_vq4_config,
                                                    cin_ldm_vq_f8_config,
                                                    inpainting_big_config,
-                                                   lsun_churches_ldm_kl8_config)
+                                                   lsun_churches_ldm_kl8_config,
+                                                   rdm768_config)
 
     def n_jax(cfg):
         m = UNetCond(cfg)
@@ -159,6 +160,7 @@ def test_zoo_preset_param_counts():
     assert n_jax(lsun_churches_ldm_kl8_config()) == 294_966_916
     assert n_jax(cin_ldm_vq_f8_config()) == 394_984_196
     assert n_jax(inpainting_big_config()) == 387_245_827
+    assert n_jax(rdm768_config()) == 1_335_480_400
 
 
 def test_attnblock_prune_rebuild():

@@ -43,7 +43,8 @@ def _write_first_stage(sd, dst, resolution):
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("kind", choices=["diffusers", "ddim", "compvis",
-                                    "first-stage", "inception", "lpips"])
+                                    "first-stage", "inception", "lpips",
+                                    "clip"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--config", default="cifar10",
@@ -172,6 +173,29 @@ def main():
         lin_sd = lin_sd.get("state_dict", lin_sd)
         params = torch_lpips_state_dicts_to_params(vgg_sd, lin_sd)
         save_params_npz(args.dst, params)
+        print(f"wrote {args.dst}")
+
+    elif args.kind == "clip":
+        import torch
+
+        from diff_pruning_tpu.models.clip import (CLIP, clip_vit_l14_config,
+                                                  openai_clip_state_dict_to_params)
+        from diff_pruning_tpu.utils.checkpoint import save_params_npz
+
+        # OpenAI clip.load downloads a TorchScript archive; plain state
+        # dicts also accepted
+        try:
+            sd = torch.jit.load(args.src, map_location="cpu").state_dict()
+        except RuntimeError:
+            sd = torch.load(args.src, map_location="cpu", weights_only=True)
+            sd = sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+        params = openai_clip_state_dict_to_params(sd)
+        cfg = clip_vit_l14_config()
+        CLIP(cfg).graph.validate(params)
+        os.makedirs(args.dst, exist_ok=True)
+        with open(os.path.join(args.dst, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        save_params_npz(os.path.join(args.dst, "params.npz"), params)
         print(f"wrote {args.dst}")
 
     elif args.kind == "inception":
