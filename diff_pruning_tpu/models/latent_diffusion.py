@@ -59,6 +59,61 @@ class ClassEmbedder:
         return p["embedding"]["weight"][labels][:, None, :]
 
 
+@dataclasses.dataclass
+class SpatialRescaler:
+    """ldm/modules/encoders/modules.py:106-135: n_stages of
+    interpolate(scale_factor=multiplier) + optional 1x1 channel mapper.
+    NHWC; methods map to jax.image.resize kernels."""
+
+    n_stages: int = 1
+    method: str = "bilinear"
+    multiplier: float = 0.5
+    in_channels: int = 3
+    out_channels: Optional[int] = None
+    bias: bool = False
+
+    _METHODS = {"nearest": "nearest", "linear": "linear",
+                "bilinear": "linear", "trilinear": "linear",
+                "bicubic": "cubic", "area": "linear"}
+
+    def __post_init__(self):
+        assert self.n_stages >= 0
+        assert self.method in self._METHODS
+
+    def init(self, key):
+        if self.out_channels is None:
+            return {}
+        p = {"channel_mapper": {"kernel": 0.02 * jax.random.normal(
+            key, (1, 1, self.in_channels, self.out_channels))}}
+        if self.bias:
+            p["channel_mapper"]["bias"] = jnp.zeros((self.out_channels,))
+        return p
+
+    def __call__(self, p, x):
+        for _ in range(self.n_stages):
+            b, h, w, c = x.shape
+            oh, ow = int(h * self.multiplier), int(w * self.multiplier)
+            if self.method == "nearest":
+                # torch F.interpolate nearest: src = floor(dst * in/out)
+                # (jax.image.resize 'nearest' uses half-pixel centers)
+                iy = (np.arange(oh) * h) // oh
+                ix = (np.arange(ow) * w) // ow
+                x = x[:, iy][:, :, ix]
+            else:
+                x = jax.image.resize(x, (b, oh, ow, c),
+                                     method=self._METHODS[self.method])
+        if self.out_channels is not None:
+            x = jax.lax.conv_general_dilated(
+                x, p["channel_mapper"]["kernel"].astype(x.dtype), (1, 1),
+                [(0, 0), (0, 0)], dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.bias:
+                x = x + p["channel_mapper"]["bias"].astype(x.dtype)
+        return x
+
+    def encode(self, p, x):
+        return self(p, x)
+
+
 class IdentityCondStage:
     """`cond_stage_config: torch.nn.Identity` (the RDM yaml,
     configs/retrieval-augmented-diffusion/768x768.yaml): conditioning is

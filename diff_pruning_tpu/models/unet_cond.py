@@ -516,6 +516,59 @@ def txt2img_1p4B_config() -> UNetCondConfig:
         context_dim=1280)
 
 
+def bsr_sr_config() -> UNetCondConfig:
+    """models/ldm/bsr_sr/config.yaml: BSR super-resolution LDM — concat-mode
+    conditioning (in_channels 6 = 3 latent + 3 degraded-LR latent; sampled
+    with make_concat_sampler like inpainting_big)."""
+    return UNetCondConfig(
+        image_size=64, in_channels=6, out_channels=3, model_channels=160,
+        num_res_blocks=2, attention_resolutions=(16, 8),
+        channel_mult=(1, 2, 2, 4), num_head_channels=32, context_dim=None,
+        use_spatial_transformer=False)
+
+
+def layout2img_openimages256_config() -> UNetCondConfig:
+    """models/ldm/layout2img-openimages256/config.yaml: depth-3 spatial
+    transformer over a BERT-style layout encoder (n_embed 512, 16 layers,
+    vocab 8192, seq 92 — expressible as BERTEmbedderConfig)."""
+    return UNetCondConfig(
+        image_size=64, in_channels=3, out_channels=3, model_channels=128,
+        num_res_blocks=2, attention_resolutions=(8, 4, 2),
+        channel_mult=(1, 2, 3, 4), num_head_channels=32,
+        transformer_depth=3, context_dim=512)
+
+
+def semantic_synthesis256_config() -> UNetCondConfig:
+    """models/ldm/semantic_synthesis256/config.yaml: concat-mode over a
+    SpatialRescaler'd segmentation map (182ch -> 3ch, n_stages 2 — the
+    models/latent_diffusion.SpatialRescaler cond stage). NOTE the yaml's
+    attention_resolutions (32,16,8) never match the 3-level ds values
+    (1,2,4), so the UNet has mid-block attention only — faithful."""
+    return UNetCondConfig(
+        image_size=64, in_channels=6, out_channels=3, model_channels=128,
+        num_res_blocks=2, attention_resolutions=(32, 16, 8),
+        channel_mult=(1, 4, 8), num_heads=8, context_dim=None,
+        use_spatial_transformer=False)
+
+
+def semantic_synthesis512_config() -> UNetCondConfig:
+    """models/ldm/semantic_synthesis512/config.yaml (same UNet at 128-res
+    latents)."""
+    import dataclasses as _dc
+
+    return _dc.replace(semantic_synthesis256_config(), image_size=128)
+
+
+def text2img256_config() -> UNetCondConfig:
+    """models/ldm/text2img256/config.yaml: LAION text-to-image at 256
+    (BERTEmbedder n_embed 640, 32 layers cond stage)."""
+    return UNetCondConfig(
+        image_size=64, in_channels=3, out_channels=3, model_channels=192,
+        num_res_blocks=2, attention_resolutions=(8, 4, 2),
+        channel_mult=(1, 2, 3, 5), num_head_channels=32,
+        transformer_depth=1, context_dim=640)
+
+
 def rdm768_config() -> UNetCondConfig:
     """configs/retrieval-augmented-diffusion/768x768.yaml unet_config: the
     retrieval-augmented LDM sampled by scripts/knn2img.py (1.34B params;

@@ -210,3 +210,23 @@ def test_ckpt_util_local_resolution(tmp_path):
         get_ckpt_path("nope", root=str(tmp_path))
     assert md5_hash(str(p / "model-790000.ckpt")) == \
         __import__("hashlib").md5(b"fake").hexdigest()
+
+
+def test_spatial_rescaler():
+    """modules.py:106-135 SpatialRescaler: n_stages of halving + 1x1 map."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diff_pruning_tpu.models.latent_diffusion import SpatialRescaler
+
+    r = SpatialRescaler(n_stages=2, method="bilinear", multiplier=0.5,
+                        in_channels=3, out_channels=5)
+    p = r.init(jax.random.key(0))
+    y = r(p, jnp.ones((2, 16, 16, 3)))
+    assert y.shape == (2, 4, 4, 5)
+    # nearest at multiplier 0.5 == stride-2 subsampling of the torch impl
+    rn = SpatialRescaler(n_stages=1, method="nearest")
+    x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
+    yn = rn({}, x)
+    np.testing.assert_allclose(np.asarray(yn), np.asarray(x[:, ::2, ::2]))

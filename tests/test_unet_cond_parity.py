@@ -161,6 +161,16 @@ def test_zoo_preset_param_counts():
     assert n_jax(cin_ldm_vq_f8_config()) == 394_984_196
     assert n_jax(inpainting_big_config()) == 387_245_827
     assert n_jax(rdm768_config()) == 1_335_480_400
+    from diff_pruning_tpu.models.unet_cond import (
+        bsr_sr_config, layout2img_openimages256_config,
+        semantic_synthesis256_config, semantic_synthesis512_config,
+        text2img256_config)
+
+    assert n_jax(bsr_sr_config()) == 113_622_563
+    assert n_jax(layout2img_openimages256_config()) == 246_277_379
+    assert n_jax(semantic_synthesis256_config()) == 215_229_315
+    assert n_jax(semantic_synthesis512_config()) == 215_229_315
+    assert n_jax(text2img256_config()) == 403_623_939
 
 
 def test_attnblock_prune_rebuild():
