@@ -83,7 +83,6 @@ def main(argv=None):
         gen_params = load_params_npz(
             os.path.join(args.model_path, "first_stage", "params.npz"))
     elif args.preset:
-        cfg = args.preset
         cfg = first_stage_config(args.preset)
         if args.resolution != cfg.sample_size:
             import dataclasses

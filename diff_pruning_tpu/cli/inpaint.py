@@ -87,8 +87,14 @@ def main(argv=None):
         c = fs.encode(fparams, masked)
         return jnp.concatenate([c, mask_small], axis=-1)
 
-    decode = jax.jit(lambda lat: fs.decode(fparams, lat,
-                                           force_not_quantize=True))
+    # decode_first_stage -> VQModelInterface.decode quantizes the sampled
+    # latents against the codebook first (ddpm.py:755-756, default
+    # force_not_quantize=False) — unlike the LDMPipeline's decode path
+    if fcfg.num_vq_embeddings:
+        decode = jax.jit(lambda lat: fs.decode(fparams, lat,
+                                               force_not_quantize=False))
+    else:
+        decode = jax.jit(lambda lat: fs.decode(fparams, lat))
 
     masks = sorted(glob.glob(os.path.join(args.indir, "*_mask.png")))
     images = [m.replace("_mask.png", ".png") for m in masks]

@@ -69,6 +69,10 @@ def main(argv=None):
                                config_cls=AutoencoderConfig)
     clip_path = args.clip_path or os.path.join(args.model_path, "clip")
     if args.clip_path is None and not os.path.isdir(clip_path):
+        print(f"WARNING: no CLIP weights at {clip_path} — falling back to "
+              "RANDOM-INIT CLIP; outputs are smoke-test garbage, not real "
+              "samples (pass --clip_path or convert with "
+              "`tools/convert_checkpoints.py clip`)")
         clip_path = "random"
     clip_model, clip_params = load_clip(clip_path)
     tok = CLIPTokenizer(args.bpe)
@@ -83,10 +87,13 @@ def main(argv=None):
                           scale_factor=0.22765929, linear_end=0.015)
     params = {"unet": uparams, "cond_stage": {}, "first_stage": fparams}
     f = 2 ** (len(fcfg.block_out_channels) - 1)
-    latent_hw = args.H // f
+    latent_hw = (args.H // f, args.W // f)
 
     searcher = None
     if args.use_neighbors:
+        if not args.database:
+            raise SystemExit("--use_neighbors needs --database "
+                             "(cli.train_searcher output)")
         from ..retrieval import load_searcher
 
         searcher = load_searcher(args.database)

@@ -8,9 +8,10 @@ Pipeline (degradation order randomized, downsample-to-target kept after the
 random rescale, final JPEG always applied):
   blur (anisotropic/isotropic Gaussian) -> random rescale -> downsample to
   1/sf -> Gaussian noise (color/gray/correlated) -> JPEG -> final JPEG.
-The full and light variants differ only in strengths: blur widths /4,
-noise levels (1,2) vs (2,25), and the second blur stage dropped — exactly
-the reference's deltas.
+The full and light variants differ only in strengths: blur widths /4 and
+kernel sizes [5,14]/[5,7] vs [7,25], noise levels (1,2) vs (2,25), JPEG
+quality 80-95 vs 30-95, and the second blur stage dropped — exactly the
+reference's deltas (bsrgan.py:326-341,419 vs bsrgan_light.py:325-344,423).
 
 TPU-native determinism: the reference draws from the GLOBAL `random` /
 `np.random` state; here every draw comes from an explicit
@@ -71,14 +72,21 @@ def _rand_interp(rng) -> int:
 def add_blur(img: np.ndarray, sf: int, rng, *, light: bool) -> np.ndarray:
     wd2 = 4.0 + sf
     wd = 2.0 + 0.2 * sf
-    if light:  # bsrgan_light.py:326-330
+    if light:  # bsrgan_light.py:326-330: widths /4, smaller kernels
         wd2, wd = wd2 / 4, wd / 4
     if rng.random() < 0.5:
-        k = anisotropic_gaussian_kernel(
-            int(rng.integers(2, 12)) + 3, rng.random() * np.pi,
-            wd2 * rng.random(), wd2 * rng.random())
+        if light:  # bsrgan_light.py:335: ksize randint(2,11)+3 in [5,14]
+            ksize = int(rng.integers(2, 12)) + 3
+        else:  # bsrgan.py:331: ksize 2*randint(2,11)+3 in [7,25]
+            ksize = 2 * int(rng.integers(2, 12)) + 3
+        k = anisotropic_gaussian_kernel(ksize, rng.random() * np.pi,
+                                        wd2 * rng.random(), wd2 * rng.random())
     else:
-        k = gaussian_kernel(int(rng.integers(2, 5)) + 3, wd * rng.random())
+        if light:  # bsrgan_light.py:337: size randint(2,4)+3
+            size = int(rng.integers(2, 5)) + 3
+        else:  # bsrgan.py:333: size 2*randint(2,11)+3
+            size = 2 * int(rng.integers(2, 12)) + 3
+        k = gaussian_kernel(size, wd * rng.random())
     return ndimage.convolve(img, k[:, :, None], mode="mirror")
 
 
@@ -100,8 +108,9 @@ def add_gaussian_noise(img: np.ndarray, rng, level1: int, level2: int) -> np.nda
     return np.clip(img, 0.0, 1.0)
 
 
-def add_jpeg_noise(img: np.ndarray, rng) -> np.ndarray:
-    quality = int(rng.integers(80, 96))
+def add_jpeg_noise(img: np.ndarray, rng, *, light: bool = True) -> np.ndarray:
+    # bsrgan_light.py:423 quality 80-95; bsrgan.py:419 down to 30
+    quality = int(rng.integers(80, 96)) if light else int(rng.integers(30, 96))
     u8 = cv2.cvtColor((np.clip(img, 0, 1) * 255.0).round().astype(np.uint8),
                       cv2.COLOR_RGB2BGR)
     _, enc = cv2.imencode(".jpg", u8, [int(cv2.IMWRITE_JPEG_QUALITY), quality])
@@ -162,8 +171,8 @@ def degradation_bsrgan_variant(image_u8: np.ndarray, sf: int = 4, *,
             img = add_gaussian_noise(img, rng, l1, l2)
         elif i == 5:
             if rng.random() < jpeg_prob:
-                img = add_jpeg_noise(img, rng)
+                img = add_jpeg_noise(img, rng, light=light)
         # i == 6: camera ISP model — None in the reference call sites too
 
-    img = add_jpeg_noise(img, rng)
+    img = add_jpeg_noise(img, rng, light=light)
     return {"image": (np.clip(img, 0, 1) * 255.0).round().astype(np.uint8)}

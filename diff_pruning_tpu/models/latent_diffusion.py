@@ -185,6 +185,10 @@ class LatentDiffusion:
         """
         if method == "plms" and eta != 0.0:
             raise ValueError("PLMS requires eta == 0 (plms.py:49)")
+        # int -> square; (h, w) supported (the reference samplers take an
+        # arbitrary shape, e.g. knn2img's H/W flags)
+        lat_h, lat_w = ((latent_hw, latent_hw) if isinstance(latent_hw, int)
+                        else tuple(latent_hw))
         ts = compvis_ddim_timesteps(ddim_steps, self.schedule.num_train_timesteps)
         prev = ddim_prev_timesteps(ts)
         ts_j, prev_j = jnp.asarray(ts, jnp.int32), jnp.asarray(prev, jnp.int32)
@@ -216,7 +220,7 @@ class LatentDiffusion:
                     params, jnp.full((batch_size,), uc, jnp.int32))
             ctx = jnp.concatenate([ctx_u, ctx_c], axis=0)
             key, ik = jax.random.split(key)
-            x = jax.random.normal(ik, (batch_size, latent_hw, latent_hw, latent_ch))
+            x = jax.random.normal(ik, (batch_size, lat_h, lat_w, latent_ch))
             if mesh is not None:
                 x = jax.lax.with_sharding_constraint(x, data_sh)
 

@@ -420,6 +420,9 @@ class AutoencoderKL:
 
 def _first_stage(ch_mult, z, *, double_z, n_embed=None, embed_dim=None,
                  attn=(), mid_attn=True):
+    # double_z is implied by the VQ-vs-KL dispatch (make_first_stage);
+    # assert the preset table stays consistent with the ddconfigs
+    assert double_z == (n_embed is None), "KL <=> double_z in the zoo"
     return AutoencoderConfig(
         block_out_channels=tuple(128 * m for m in ch_mult),
         layers_per_block=2, latent_channels=z, sample_size=256,

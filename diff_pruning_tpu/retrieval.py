@@ -78,11 +78,21 @@ class ExactSearcher:
     device. Returns the reference's result-dict schema."""
 
     def __init__(self, database: Dict[str, np.ndarray]):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
         self.database = database
         emb = np.asarray(database["embedding"], np.float32)
-        self._normed = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        # device-resident once; per-query work is ONE jitted matmul+top_k
+        # dispatch (this platform pays seconds per dispatch — CLAUDE.md)
+        self._normed_dev = jnp.asarray(
+            emb / np.linalg.norm(emb, axis=1, keepdims=True))
+        self._topk = None
+        self._k = None
 
     def search(self, x, k: int) -> Dict[str, np.ndarray]:
+        import jax
         import jax.numpy as jnp
         from jax import lax
 
@@ -91,8 +101,10 @@ class ExactSearcher:
             x = x[:, 0]
         q = x / np.linalg.norm(x, axis=1, keepdims=True)
         start = time.time()
-        scores = jnp.asarray(q) @ jnp.asarray(self._normed).T
-        _, nns = lax.top_k(scores, k)
+        if self._k != k:
+            self._k = k
+            self._topk = jax.jit(lambda qq, db: lax.top_k(qq @ db.T, k))
+        _, nns = self._topk(jnp.asarray(q), self._normed_dev)
         nns = np.asarray(nns)
         end = time.time()
         out_emb = self.database["embedding"][nns]

@@ -204,11 +204,10 @@ def make_autoencoder_train_step(model, cfg: GANLossConfig, lpips_params,
         if is_vq:
             loss = nll + d_weight * disc_factor * g_loss \
                 + cfg.codebook_weight * aux["qloss"]
-            extra = {"quant_loss": aux["qloss"]}
-            if model.cfg.num_vq_embeddings:
-                perp, used = measure_perplexity(aux["idx"],
-                                                model.cfg.num_vq_embeddings)
-                extra.update(perplexity=perp, cluster_usage=used)
+            perp, used = measure_perplexity(aux["idx"],
+                                            model.cfg.num_vq_embeddings)
+            extra = {"quant_loss": aux["qloss"], "perplexity": perp,
+                     "cluster_usage": used}
         else:
             loss = nll + cfg.kl_weight * aux["kl"] \
                 + d_weight * disc_factor * g_loss
