@@ -11,11 +11,10 @@ numbers recorded in docs/PALLAS_BENCH.md):
   for sequences >= ``min_tokens=512`` (celebahq-256 train step +5.3%;
   CIFAR's 256-token blocks excluded — measured slightly slower there).
 * ``group_norm`` (OFF): fused GroupNorm(+SiLU) (ops/group_norm.py).
-  Measured neutral (0.98x) at the largest shape whose working set fits
-  VMEM — GN is memory-bound and XLA already emits the minimal two-pass
-  schedule, so there is no fusion headroom short of folding the norm
-  into the following conv. Kept for experimentation; big 256^2 slabs
-  fall back to XLA automatically.
+  Loses IN-MODEL at every served scale (sampling −21% at 32², −4.6% at
+  64² — docs/PALLAS_BENCH.md): the custom call severs XLA's GN-into-conv
+  epilogue fusion. Kept for experimentation; big 256² slabs fall back to
+  XLA automatically.
 """
 
 _FLAGS = {"group_norm": False, "attention": True}
