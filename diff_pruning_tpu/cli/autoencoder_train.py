@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--pixel_loss", type=str, default="l1", choices=["l1", "l2"])
     p.add_argument("--lpips", type=str, default="random",
                    help="'off', 'random', or a converted lpips params .npz")
+    p.add_argument("--mixed_precision", type=str, default="no",
+                   choices=["no", "bf16"])
     p.add_argument("--steps_per_dispatch", type=int, default=8)
     p.add_argument("--save_model_steps", type=int, default=2000)
     p.add_argument("--log_steps", type=int, default=100)
@@ -110,7 +112,9 @@ def main(argv=None):
     lr = args.base_learning_rate * args.train_batch_size
     gen_tx, disc_tx = make_ae_optimizers(lr, args.lr_g_factor)
     step_fn = make_autoencoder_train_step(model, loss_cfg, lpips_params, disc,
-                                          gen_tx, disc_tx, jit=False)
+                                          gen_tx, disc_tx,
+                                          mixed_precision=args.mixed_precision,
+                                          jit=False)
     chunk = chunk_for_intervals(args.steps_per_dispatch,
                                 args.save_model_steps, args.log_steps)
 

@@ -364,8 +364,10 @@ class VQModel:
         Returns (zq_straight_through, codebook_loss, indices)."""
         zq, idx = self.quantize(p, z)
         sg = jax.lax.stop_gradient
-        loss = (jnp.mean(jnp.square(sg(zq) - z))
-                + beta * jnp.mean(jnp.square(zq - sg(z))))
+        # loss accumulated in f32 regardless of compute dtype (bf16 training)
+        zf, qf = z.astype(jnp.float32), zq.astype(jnp.float32)
+        loss = (jnp.mean(jnp.square(sg(qf) - zf))
+                + beta * jnp.mean(jnp.square(qf - sg(zf))))
         return z + sg(zq - z), loss, idx
 
     def decode(self, p, z, force_not_quantize: bool = True):

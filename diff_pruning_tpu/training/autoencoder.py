@@ -122,22 +122,37 @@ def _pixel_loss(kind, x, y):
 def make_autoencoder_train_step(model, cfg: GANLossConfig, lpips_params,
                                 disc: NLayerDiscriminator,
                                 gen_tx, disc_tx, *,
+                                mixed_precision: str = "no",
+                                mesh=None, data_axis: str = "data",
                                 jit: bool = True):
     """Build the fused two-optimizer train step for a VQModel or
     AutoencoderKL (`model` from models/vae.py — dispatched on
     `model.cfg.num_vq_embeddings`).
 
     Returns step(state, images, key) -> (state, metrics); images NHWC in
-    [-1, 1].
+    [-1, 1]. ``mixed_precision='bf16'`` runs the codec/discriminator/LPIPS
+    compute in bfloat16 with f32 master params and f32 loss accumulation
+    (same policy as the finetune step). With ``mesh``, the batch is sharded
+    over the mesh's data axis and state replicated — the SPMD equivalent of
+    the reference's Lightning-DDP autoencoder training (XLA inserts the
+    gradient psum for BOTH optimizers).
     """
     is_vq = bool(model.cfg.num_vq_embeddings)
     d_loss_fn = hinge_d_loss if cfg.disc_loss == "hinge" else vanilla_d_loss
     use_lpips = cfg.perceptual_weight > 0
     logvar = jnp.asarray(cfg.logvar_init, jnp.float32)
+    compute = jnp.bfloat16 if mixed_precision == "bf16" else jnp.float32
+
+    def _cast(tree):
+        if compute == jnp.float32:
+            return tree
+        return jax.tree.map(lambda a: a.astype(compute), tree)
 
     def reconstruct(gp, x, key):
         """forward (autoencoder.py:117-122 / :335-342): returns
         (trunk features h, aux) where recon = conv_out(h)."""
+        gp = _cast(gp)
+        x = x.astype(compute)
         if is_vq:
             z = model.encode(gp, x)
             zq, qloss, idx = model.quantize_train(gp, z, beta=cfg.vq_beta)
@@ -150,7 +165,9 @@ def make_autoencoder_train_step(model, cfg: GANLossConfig, lpips_params,
             z = mean + jnp.exp(0.5 * lv) * jax.random.normal(key, mean.shape,
                                                              mean.dtype)
             # DiagonalGaussianDistribution.kl() vs N(0,1), summed per image
-            kl = 0.5 * jnp.sum(jnp.square(mean) + jnp.exp(lv) - 1.0 - lv,
+            # (f32 accumulation under bf16 compute)
+            m32, lv32 = mean.astype(jnp.float32), lv.astype(jnp.float32)
+            kl = 0.5 * jnp.sum(jnp.square(m32) + jnp.exp(lv32) - 1.0 - lv32,
                                axis=(1, 2, 3))
             aux = {"kl": jnp.sum(kl) / x.shape[0]}
             lat = z
@@ -162,24 +179,29 @@ def make_autoencoder_train_step(model, cfg: GANLossConfig, lpips_params,
         return model.decoder.conv_out(w, h)
 
     def nll_of(x, recon):
-        """scalar NLL + the elementwise rec_loss (for logging)."""
-        p_loss = lpips_distance(lpips_params, x, recon) if use_lpips else 0.0
+        """scalar NLL + the elementwise rec_loss (for logging). The LPIPS
+        trunk runs in the compute dtype; pixel terms and all reductions
+        accumulate in f32."""
+        x = x.astype(compute)
+        p_loss = (lpips_distance(lpips_params, x, recon).astype(jnp.float32)
+                  if use_lpips else 0.0)
+        x32, r32 = x.astype(jnp.float32), recon.astype(jnp.float32)
         if is_vq:
             # NOTE pixelloss_weight is carried in the config but never applied
             # in the reference forward either (vqperceptual.py:103 uses the
             # raw pixel loss; self.pixel_weight is write-only) — kept faithful.
-            rec = _pixel_loss(cfg.pixel_loss, x, recon)
+            rec = _pixel_loss(cfg.pixel_loss, x32, r32)
             if use_lpips:
                 rec = rec + cfg.perceptual_weight * p_loss[:, None, None, None]
             return jnp.mean(rec), rec
-        rec = jnp.abs(x - recon)
+        rec = jnp.abs(x32 - r32)
         if use_lpips:
             rec = rec + cfg.perceptual_weight * p_loss[:, None, None, None]
         nll = rec / jnp.exp(logvar) + logvar
         return jnp.sum(nll) / x.shape[0], rec
 
     def g_of(dp, recon):
-        return -jnp.mean(disc(dp, recon))
+        return -jnp.mean(disc(_cast(dp), recon).astype(jnp.float32))
 
     def adaptive_weight(gp, dp, x, h):
         """contperceptual.py:32-43 — grads wrt decoder.conv_out params only
@@ -223,9 +245,10 @@ def make_autoencoder_train_step(model, cfg: GANLossConfig, lpips_params,
         # including a fresh posterior sample (fold_in), as a second torch
         # forward would draw
         h, _ = reconstruct(sg(gp), x, jax.random.fold_in(key, 1))
-        recon = sg(conv_out(gp["decoder"]["conv_out"], h))
-        logits_real = disc(dp, sg(x))
-        logits_fake = disc(dp, recon)
+        recon = sg(conv_out(_cast(sg(gp["decoder"]["conv_out"])), h))
+        dpc = _cast(dp)
+        logits_real = disc(dpc, sg(x.astype(compute))).astype(jnp.float32)
+        logits_fake = disc(dpc, recon).astype(jnp.float32)
         disc_factor = adopt_weight(cfg.disc_factor, step,
                                    threshold=cfg.disc_start)
         d_loss = disc_factor * d_loss_fn(logits_real, logits_fake)
@@ -249,4 +272,11 @@ def make_autoencoder_train_step(model, cfg: GANLossConfig, lpips_params,
                                  state.step + 1)
         return new_state, {**gm, **dm}
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P(data_axis))
+        return jax.jit(step_fn, in_shardings=(repl, data, repl),
+                       out_shardings=(repl, repl), donate_argnums=0)
     return jax.jit(step_fn, donate_argnums=0) if jit else step_fn

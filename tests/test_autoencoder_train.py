@@ -280,3 +280,74 @@ def test_adaptive_weight_matches_full_autograd():
     np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), rtol=1e-5)
     dw = float(jnp.linalg.norm(n1.ravel()) / (jnp.linalg.norm(g1.ravel()) + 1e-4))
     assert np.isfinite(dw) and dw >= 0
+
+
+def test_bf16_mixed_precision_step():
+    """bf16 compute / f32 master params: runs, finite, and first-step
+    metrics close to the f32 step (loss accumulation is f32)."""
+    model = VQModel(_tiny_vq_cfg())
+    disc = NLayerDiscriminator(input_nc=3, ndf=8, n_layers=2)
+    loss_cfg = GANLossConfig(disc_start=0, perceptual_weight=0.0)
+    gen_tx, disc_tx = make_ae_optimizers(1e-3)
+    gp = model.init(jax.random.key(0))
+    dp = disc.init(jax.random.key(1))
+    x = jax.random.uniform(jax.random.key(3), (2, 16, 16, 3),
+                           minval=-1.0, maxval=1.0)
+    results = {}
+    for mp in ("no", "bf16"):
+        step = make_autoencoder_train_step(model, loss_cfg, None, disc,
+                                           gen_tx, disc_tx,
+                                           mixed_precision=mp, jit=True)
+        st = init_ae_train_state(jax.tree.map(jnp.copy, gp),
+                                 jax.tree.map(jnp.copy, dp), gen_tx, disc_tx)
+        st, m = step(st, x, jax.random.key(7))
+        results[mp] = {k: float(v) for k, v in m.items()}
+        # master params stay f32
+        assert st.gen_params["quantize"]["embedding"]["weight"].dtype == jnp.float32
+    assert np.isfinite(results["bf16"]["total_loss"])
+    np.testing.assert_allclose(results["bf16"]["rec_loss"],
+                               results["no"]["rec_loss"], rtol=0.05)
+    np.testing.assert_allclose(results["bf16"]["disc_loss"],
+                               results["no"]["disc_loss"], rtol=0.05)
+
+
+def test_ae_train_step_data_parallel():
+    """DP GAN step on the 8-device CPU mesh == single-device step (both
+    optimizers; XLA-inserted psum, the Lightning-DDP equivalent)."""
+    from diff_pruning_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    model = VQModel(_tiny_vq_cfg())
+    disc = NLayerDiscriminator(input_nc=3, ndf=8, n_layers=2)
+    loss_cfg = GANLossConfig(disc_start=0, perceptual_weight=0.0)
+    gen_tx, disc_tx = make_ae_optimizers(1e-3)
+    gp = model.init(jax.random.key(0))
+    dp = disc.init(jax.random.key(1))
+    x = jax.random.uniform(jax.random.key(3), (16, 16, 16, 3),
+                           minval=-1.0, maxval=1.0)
+    key = jax.random.key(9)
+
+    mesh = make_mesh()
+    step_dp = make_autoencoder_train_step(model, loss_cfg, None, disc,
+                                          gen_tx, disc_tx, mesh=mesh)
+    st = replicate(mesh, init_ae_train_state(
+        jax.tree.map(jnp.copy, gp), jax.tree.map(jnp.copy, dp),
+        gen_tx, disc_tx))
+    st2, m = step_dp(st, shard_batch(mesh, x), key)
+
+    step_s = make_autoencoder_train_step(model, loss_cfg, None, disc,
+                                         gen_tx, disc_tx)
+    st_s = init_ae_train_state(jax.tree.map(jnp.copy, gp),
+                               jax.tree.map(jnp.copy, dp), gen_tx, disc_tx)
+    st_s2, m_s = step_s(st_s, x, key)
+    np.testing.assert_allclose(float(m["total_loss"]),
+                               float(m_s["total_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m["disc_loss"]),
+                               float(m_s["disc_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(st2.gen_params),
+                    jax.tree.leaves(st_s2.gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(st2.disc_params),
+                    jax.tree.leaves(st_s2.disc_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
