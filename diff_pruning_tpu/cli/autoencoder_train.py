@@ -104,6 +104,11 @@ def main(argv=None):
 
     disc = NLayerDiscriminator(input_nc=cfg.in_channels,
                                n_layers=args.disc_num_layers)
+    if args.resolution < disc.min_input_size:
+        raise SystemExit(
+            f"--resolution {args.resolution} is below the "
+            f"{args.disc_num_layers}-layer PatchGAN's minimum "
+            f"({disc.min_input_size}) — pass a smaller --disc_num_layers")
     loss_cfg = GANLossConfig(
         disc_start=args.disc_start, kl_weight=args.kl_weight,
         codebook_weight=args.codebook_weight, disc_weight=args.disc_weight,
@@ -134,15 +139,20 @@ def main(argv=None):
                                 gen_tx, disc_tx)
     start_step = 0
     if args.resume_from_checkpoint:
+        from ..utils.checkpoint import load_train_state, restore_opt_state
+
         d = args.resume_from_checkpoint
-        with open(os.path.join(d, "meta.json")) as f:
-            start_step = int(json.load(f)["step"])
-        state = AETrainState(
-            load_params_npz(os.path.join(d, "gen_params.npz")),
-            load_params_npz(os.path.join(d, "disc_params.npz")),
-            state.gen_opt, state.disc_opt,
-            jnp.asarray(start_step, jnp.int32))
-        print(f"resumed params from step {start_step} (fresh optimizers)")
+        gmeta, gen_p, _ = load_train_state(os.path.join(d, "gen"))
+        _, disc_p, _ = load_train_state(os.path.join(d, "disc"))
+        start_step = int(gmeta["step"])
+        gen_opt, g_ok = restore_opt_state(os.path.join(d, "gen"),
+                                          gen_tx.init(gen_p))
+        disc_opt, d_ok = restore_opt_state(os.path.join(d, "disc"),
+                                           disc_tx.init(disc_p))
+        state = AETrainState(gen_p, disc_p, gen_opt, disc_opt,
+                             jnp.asarray(start_step, jnp.int32))
+        print(f"resumed from step {start_step} (optimizers "
+              f"{'restored' if g_ok and d_ok else 'RE-INITIALIZED'})")
 
     ds = get_dataset(args.dataset, resolution=args.resolution)
     print(f"dataset: {len(ds)} images at {args.resolution}")
@@ -174,18 +184,23 @@ def main(argv=None):
                     tb.add_scalar(f"train/{k}", rec[k], step)
             tb.flush()
         if step % args.save_model_steps == 0 or step >= args.num_iters:
+            from ..utils.checkpoint import save_train_state
+
             d = os.path.join(args.output_dir, "first_stage")
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, "config.json"), "w") as f:
                 f.write(cfg.to_json())
             save_params_npz(os.path.join(d, "params.npz"), state.gen_params)
             ck = os.path.join(args.output_dir, "ckpt")
-            os.makedirs(ck, exist_ok=True)
-            save_params_npz(os.path.join(ck, "gen_params.npz"), state.gen_params)
-            save_params_npz(os.path.join(ck, "disc_params.npz"),
-                            state.disc_params)
-            with open(os.path.join(ck, "meta.json"), "w") as f:
-                json.dump({"step": step, "seed": args.seed}, f)
+            # both optimizers' Adam moments persist (keypath-matched restore
+            # — re-initializing them would spike the G/D balance on resume)
+            save_train_state(os.path.join(ck, "gen"), step=step,
+                             params=state.gen_params, opt_state=state.gen_opt,
+                             extra_meta={"seed": args.seed})
+            save_train_state(os.path.join(ck, "disc"), step=step,
+                             params=state.disc_params,
+                             opt_state=state.disc_opt,
+                             extra_meta={"seed": args.seed})
             print(f"saved at step {step}")
     log.close()
     tb.close()

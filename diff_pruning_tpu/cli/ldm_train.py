@@ -62,7 +62,11 @@ def main(argv=None):
                          "needs the VQ/KL codec to encode images")
     ucfg = ldm.unet.cfg
     latent_hw = ucfg.image_size
-    img_res = latent_hw * 4  # VQ-f4 first stage (cin256-v2.yaml ddconfig)
+    # downsample factor from the actual first stage (f4 for cin256-v2,
+    # f8 for cin-ldm-vq-f8 / txt2img-1p4B — hard-coding 4 trained f8
+    # models at the wrong resolution)
+    f = 2 ** (len(ldm.first_stage.cfg.block_out_channels) - 1)
+    img_res = latent_hw * f
 
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adamw(args.learning_rate, weight_decay=0.0))

@@ -90,11 +90,15 @@ def main(argv=None):
 
     ldm, enc, params = load_txt2img(args.model_path, args.seed)
     tok = BERTTokenizer(args.vocab, max_length=enc.cfg.max_seq_len)
-    # f8 latents like the reference (txt2img.py:141: H//8 x W//8)
-    lat_h = args.H // 8
+    if tok.vocab_size > enc.cfg.vocab_size:
+        # jnp.take fills out-of-bounds with NaN — a mismatched vocab would
+        # produce silent all-NaN samples (CLAUDE.md gotcha)
+        raise SystemExit(f"vocab file has {tok.vocab_size} tokens but the "
+                         f"text encoder embeds {enc.cfg.vocab_size}")
     sampler = ldm.make_cfg_sampler(
         params, ddim_steps=args.ddim_steps, guidance_scale=args.scale,
-        eta=args.ddim_eta, latent_hw=lat_h,
+        # f8 latents like the reference (txt2img.py:141: H//8 x W//8)
+        eta=args.ddim_eta, latent_hw=(args.H // 8, args.W // 8),
         latent_ch=ldm.unet.cfg.in_channels,
         method="plms" if args.plms else "ddim",
         uncond_input=tok([""]))

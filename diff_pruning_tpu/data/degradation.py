@@ -131,8 +131,22 @@ def degradation_bsrgan_variant(image_u8: np.ndarray, sf: int = 4, *,
     img = img[: w1 - w1 % sf, : h1 - h1 % sf, ...]  # mod crop (as reference)
 
     if sf == 4 and rng.random() < scale2_prob:  # pre-halve
-        img = cv2.resize(img, (img.shape[1] // 2, img.shape[0] // 2),
-                         interpolation=_rand_interp(rng))
+        if rng.random() < 0.5:
+            img = cv2.resize(img, (img.shape[1] // 2, img.shape[0] // 2),
+                             interpolation=_rand_interp(rng))
+        else:
+            # reference: util.imresize_np(img, 1/2, True) — MATLAB-style
+            # antialiased bicubic; our PIL-exact antialiased-bicubic
+            # matrices (eval/resize.py) are the same a=-0.5 kernel with
+            # the same max(1, in/out) support scaling (edge handling
+            # differs at the 1-pixel border — documented approximation)
+            from ..eval.resize import resize_weights
+
+            h, w = img.shape[:2]
+            wy = resize_weights(h, h // 2).astype(np.float32)
+            wx = resize_weights(w, w // 2).astype(np.float32)
+            img = np.einsum("oh,hwc->owc", wy,
+                            np.einsum("ow,hwc->hoc", wx, img))
         img = np.clip(img, 0.0, 1.0)
         sf = 2
 

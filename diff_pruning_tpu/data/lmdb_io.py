@@ -192,10 +192,11 @@ class LMDBReader:
 
 def write_lmdb(path: str, items: List[Tuple[bytes, bytes]],
                psize: int = 4096) -> str:
-    """Minimal LMDB writer: meta pages + leaf pages (+ one branch level
-    + overflow pages for big values). Enough to produce databases the C
-    library and :class:`LMDBReader` both read; used for LSUN-layout
-    conversion and test fixtures."""
+    """Minimal LMDB writer: meta pages + leaf pages + as many branch levels
+    as the item count needs + overflow pages for big values. Enough to
+    produce databases the C library and :class:`LMDBReader` both read; used
+    for LSUN-layout conversion (hundreds of thousands of entries) and test
+    fixtures."""
     items = sorted(items, key=lambda kv: kv[0])
     pages: List[bytes] = [b"", b""]  # metas filled last
 
@@ -263,17 +264,44 @@ def write_lmdb(path: str, items: List[Tuple[bytes, bytes]],
         cur.append(nd)
     flush_leaf()
 
+    # build branch levels bottom-up until a single root page remains
+    # (arbitrary depth — a 4 KB branch page holds ~90 md5-keyed children,
+    # so >~8k big-value items need two levels, LSUN-scale needs three)
+    n_branch_pages = 0
     if not leaves:
         root, depth = INVALID_PGNO, 0
-    elif len(leaves) == 1:
-        root, depth = leaves[0], 1
     else:
-        bnodes = []
-        for i, (pg, k) in enumerate(zip(leaves, leaf_first_keys)):
-            key = b"" if i == 0 else k
-            bnodes.append(node_bytes(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
-                                     (pg >> 32) & 0xFFFF, key))
-        root, depth = emit_page(P_BRANCH, bnodes), 2
+        level_pages, level_keys = leaves, leaf_first_keys
+        depth = 1
+        while len(level_pages) > 1:
+            new_pages: List[int] = []
+            new_keys: List[bytes] = []
+            cur_nodes: List[bytes] = []
+            cur_first: Optional[bytes] = None
+
+            def bnode(pg: int, key: bytes) -> bytes:
+                return node_bytes(pg & 0xFFFF, (pg >> 16) & 0xFFFF,
+                                  (pg >> 32) & 0xFFFF, key)
+
+            for pg, k in zip(level_pages, level_keys):
+                # node 0's key is ignored by lookup (leftmost) — keep empty
+                nd = bnode(pg, b"" if not cur_nodes else k)
+                if cur_nodes and (PAGEHDRSZ + 2 * (len(cur_nodes) + 1)
+                                  + sum(len(x) for x in cur_nodes)
+                                  + len(nd)) > psize:
+                    new_pages.append(emit_page(P_BRANCH, cur_nodes))
+                    new_keys.append(cur_first)
+                    cur_nodes, cur_first = [], None
+                    nd = bnode(pg, b"")
+                if not cur_nodes:
+                    cur_first = k
+                cur_nodes.append(nd)
+            new_pages.append(emit_page(P_BRANCH, cur_nodes))
+            new_keys.append(cur_first)
+            n_branch_pages += len(new_pages)
+            level_pages, level_keys = new_pages, new_keys
+            depth += 1
+        root = level_pages[0]
 
     def meta_page(pgno: int, txnid: int) -> bytes:
         buf = bytearray(psize)
@@ -282,7 +310,7 @@ def write_lmdb(path: str, items: List[Tuple[bytes, bytes]],
         off = PAGEHDRSZ + _META.size
         _DB.pack_into(buf, off, psize, 0, 0, 0, 0, 0, 0, INVALID_PGNO)  # free DB
         nleaf = len(leaves)
-        nbranch = 1 if depth == 2 else 0
+        nbranch = n_branch_pages
         novf = len(pages) - 2 - nleaf - nbranch
         _DB.pack_into(buf, off + _DB.size, 0, 0, depth, nbranch, nleaf, novf,
                       len(items), root)

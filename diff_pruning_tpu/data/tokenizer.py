@@ -57,6 +57,7 @@ class BERTTokenizer:
         for special in ("[PAD]", "[UNK]", "[CLS]", "[SEP]"):
             if special not in self.ids:
                 raise ValueError(f"vocab missing {special}")
+        self.vocab_size = len(self.vocab)
         self.pad_id = self.ids["[PAD]"]
         self.unk_id = self.ids["[UNK]"]
         self.cls_id = self.ids["[CLS]"]

@@ -126,8 +126,22 @@ class NLayerDiscriminator:
             y = y + p["bias"].astype(x.dtype)
         return y
 
+    @property
+    def min_input_size(self) -> int:
+        """Smallest H/W with a non-empty logits map: n_layers stride-2 k4p1
+        convs halve exactly, then two stride-1 k4p1 convs each shave one —
+        H / 2^n - 2 >= 1."""
+        return 3 * (2 ** self.n_layers)
+
     def __call__(self, p, x):
         """(N, H, W, input_nc) -> patch logits (N, h, w, 1)."""
+        if min(x.shape[1], x.shape[2]) < self.min_input_size:
+            # an undersized input yields a ZERO-SIZE logits map and the GAN
+            # losses (means over it) silently become NaN — fail loudly
+            raise ValueError(
+                f"input {x.shape[1]}x{x.shape[2]} too small for a "
+                f"{self.n_layers}-layer PatchGAN (needs >= "
+                f"{self.min_input_size}); reduce n_layers")
         h = x
         for i in range(len(self.vars)):
             blk = p["main"][str(i)]

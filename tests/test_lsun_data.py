@@ -168,3 +168,28 @@ def test_lsun_prune_finetune_sample_end_to_end(lsun_fixture, tmp_path):
                  "--ddim_steps", "2"])
     pngs = [f for f in os.listdir(tmp_path / "samples") if f.endswith(".png")]
     assert len(pngs) == 8
+
+
+def test_write_lmdb_multi_level_branches(tmp_path):
+    """LSUN-scale trees need >1 branch level (the old writer asserted at
+    ~one branch page of children); verify a 3-level tree round-trips."""
+    import hashlib
+
+    from diff_pruning_tpu.data.lmdb_io import LMDBReader, write_lmdb
+
+    items = []
+    for i in range(600):
+        key = hashlib.md5(str(i).encode()).hexdigest().encode()
+        # mix inline values and overflow values (> psize//2 - 32)
+        val = (b"v%05d" % i) * (120 if i % 7 == 0 else 3)
+        items.append((key, val))
+    write_lmdb(str(tmp_path / "db"), items, psize=1024)
+    with LMDBReader(str(tmp_path / "db")) as r:
+        assert r.depth >= 3, r.depth
+        got = dict(r.items())
+        assert len(got) == 600
+        ref = dict(items)
+        for k in list(ref)[::37]:
+            assert r.get(k) == ref[k]
+        assert got == ref
+        assert r.get(b"missing-key") is None

@@ -111,8 +111,12 @@ def main():
         cfg = {"txt2img-1p4B": txt2img_1p4B_config,
                "inpainting_big": inpainting_big_config}.get(
                    args.config, cin256_v2_config)()
-        params = ldm_unet_state_dict_to_params(unet_sd)
-        UNetCond(cfg).graph.validate(params)
+        model = UNetCond(cfg)
+        # attn_heads de-interleaves fused-qkv AttentionBlock weights
+        # (inpainting_big and the other non-spatial-transformer models)
+        params = ldm_unet_state_dict_to_params(unet_sd,
+                                               attn_heads=model.attn_heads)
+        model.graph.validate(params)
         save_model(args.dst, cfg, params)
         subs = ["unet"]
         cond = {k: v for k, v in sd.items() if k.startswith("cond_stage_model.")}
