@@ -133,6 +133,24 @@ def statistics_of_path(
                           f"resize_mode={z['resize_mode']} but this run uses "
                           f"{resize_mode} — FID mixes preprocessing families")
                 return z["mu"], z["sigma"]
+    feats = features_of_path(path, inception_params, batch_size=batch_size,
+                             resolution=resolution, max_images=max_images,
+                             resize_mode=resize_mode, mesh=mesh)
+    return activation_statistics(feats)
+
+
+def features_of_path(
+    path: str,
+    inception_params: dict,
+    *,
+    batch_size: int = 128,
+    resolution: Optional[int] = None,
+    max_images: Optional[int] = None,
+    resize_mode: str = "torch",
+    mesh=None,
+) -> np.ndarray:
+    """Dir of images / dataset name -> raw (N, 2048) pool3 features (shared
+    by FID stats and the ISC/KID/PRC metrics in eval/fidelity.py)."""
     from ..data.datasets import get_dataset
 
     ds = get_dataset(path, resolution=resolution)
@@ -148,9 +166,8 @@ def statistics_of_path(
             for i in range(0, n, batch_size):
                 yield np.stack([ds.load(j) for j in range(i, min(i + batch_size, n))])
 
-    feats = compute_activations(inception_params, batches(), batch_size=batch_size,
-                                resize_mode=resize_mode, mesh=mesh)
-    return activation_statistics(feats)
+    return compute_activations(inception_params, batches(), batch_size=batch_size,
+                               resize_mode=resize_mode, mesh=mesh)
 
 
 def save_stats(path: str, mu: np.ndarray, sigma: np.ndarray,

@@ -178,7 +178,15 @@ def torch_inception_state_dict_to_params(sd) -> dict:
     for name, tensor in sd.items():
         arr = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach") else tensor)
         parts = name.split(".")
-        if parts[0] in ("AuxLogits", "fc"):
+        if parts[0] == "AuxLogits":
+            continue
+        if parts[0] == "fc":
+            # classifier head kept for the Inception Score (eval/fidelity.py)
+            d = out.setdefault("fc", {})
+            if parts[1] == "weight":
+                d["kernel"] = arr.transpose(1, 0)  # (1008, 2048) -> (in, out)
+            else:
+                d["bias"] = arr
             continue
         if parts[0].startswith("Mixed"):
             block, branch, kind, leaf = parts[0], parts[1], parts[2], parts[3]
