@@ -202,9 +202,15 @@ class LatentDiffusion:
             data_sh = NamedSharding(mesh, P(data_axis))
             params = jax.device_put(params, NamedSharding(mesh, P()))
 
-        @functools.partial(jax.jit, static_argnums=(2,),
-                           out_shardings=data_sh if mesh is not None else None)
-        def sample_latents(key, labels, batch_size: int):
+        # big models pass params as a jit ARGUMENT (closure constants
+        # inflate the serialized program by the full param bytes — the
+        # remote compile service rejects the 400M LDM outright); small
+        # models keep constants (~5% faster) — ddim_sampler.py's policy
+        from ..sampling.ddim_sampler import PARAMS_AS_ARGS_BYTES, params_nbytes
+
+        as_args = params_nbytes(params) > PARAMS_AS_ARGS_BYTES
+
+        def _sample_body(params, key, labels, batch_size: int):
             if mesh is not None:
                 assert batch_size % n_shards == 0, (
                     f"batch {batch_size} not divisible by data axis {n_shards}")
@@ -256,6 +262,20 @@ class LatentDiffusion:
             (x, _), _ = jax.lax.scan(step, (x, key), (ts_j, prev_j))
             return x
 
+        out_sh = data_sh if mesh is not None else None
+        if as_args:
+            jitted = jax.jit(_sample_body, static_argnums=(3,),
+                             out_shardings=out_sh)
+
+            def sample_latents(key, labels, batch_size: int):
+                return jitted(params, key, labels, batch_size)
+        else:
+            jitted = jax.jit(functools.partial(_sample_body, params),
+                             static_argnums=(2,), out_shardings=out_sh)
+
+            def sample_latents(key, labels, batch_size: int):
+                return jitted(key, labels, batch_size)
+
         return sample_latents
 
     def decode_first_stage(self, params, latents):
@@ -282,8 +302,11 @@ def make_concat_sampler(unet, unet_params, schedule: DiffusionSchedule, *,
     prev = ddim_prev_timesteps(ts)
     ts_j, prev_j = jnp.asarray(ts, jnp.int32), jnp.asarray(prev, jnp.int32)
 
-    @jax.jit
-    def sample(key, cond):
+    from ..sampling.ddim_sampler import PARAMS_AS_ARGS_BYTES, params_nbytes
+
+    as_args = params_nbytes(unet_params) > PARAMS_AS_ARGS_BYTES
+
+    def _sample_body(unet_params, key, cond):
         b, h, w = cond.shape[:3]
         key, ik = jax.random.split(key)
         x = jax.random.normal(ik, (b, h, w, latent_ch), cond.dtype)
@@ -312,5 +335,16 @@ def make_concat_sampler(unet, unet_params, schedule: DiffusionSchedule, *,
 
         (x, _), _ = jax.lax.scan(step, (x, key), (ts_j, prev_j))
         return x
+
+    if as_args:
+        jitted = jax.jit(_sample_body)
+
+        def sample(key, cond):
+            return jitted(unet_params, key, cond)
+    else:
+        jitted = jax.jit(functools.partial(_sample_body, unet_params))
+
+        def sample(key, cond):
+            return jitted(key, cond)
 
     return sample
