@@ -161,7 +161,7 @@ def features_of_path(
 
         if isinstance(ds, ArrayDataset):
             for i in range(0, n, batch_size):
-                yield ds.images[i:i + batch_size]
+                yield ds.images[i:min(i + batch_size, n)]
         else:
             for i in range(0, n, batch_size):
                 yield np.stack([ds.load(j) for j in range(i, min(i + batch_size, n))])

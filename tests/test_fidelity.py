@@ -12,11 +12,11 @@ def test_inception_score_bounds():
     n, c = 500, 10
     # perfectly confident AND balanced within every split -> IS == C
     onehot = np.eye(c)[np.arange(n) % c] * (1 - 1e-9) + 1e-10
-    m, s = inception_score(onehot, splits=5)
+    m, s = inception_score(onehot, splits=5, shuffle=False)
     np.testing.assert_allclose(m, c, rtol=1e-3)
     # uniform predictions -> IS == 1
     uni = np.full((n, c), 1.0 / c)
-    m, _ = inception_score(uni, splits=5)
+    m, _ = inception_score(uni, splits=5, shuffle=False)
     np.testing.assert_allclose(m, 1.0, rtol=1e-5)
 
 
@@ -24,7 +24,7 @@ def test_inception_score_golden_two_point():
     # p(y|x) alternates between [0.9,0.1] and [0.1,0.9]; p(y)=[0.5,0.5]
     p = np.array([[0.9, 0.1], [0.1, 0.9]] * 50)
     kl = (0.9 * np.log(0.9 / 0.5) + 0.1 * np.log(0.1 / 0.5))
-    m, _ = inception_score(p, splits=2)
+    m, _ = inception_score(p, splits=2, shuffle=False)
     np.testing.assert_allclose(m, np.exp(kl), rtol=1e-5)
 
 
@@ -135,3 +135,17 @@ def test_fidelity_cli_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(out["frechet_inception_distance"])
     assert "kernel_inception_distance_mean" in out
     assert 0.0 <= out["precision"] <= 1.0
+
+
+def test_inception_score_shuffles_and_clamps():
+    # class-sorted confident predictions: unshuffled splits each see ONE
+    # class (IS=1); shuffling recovers the true diversity
+    c = 4
+    sorted_onehot = np.repeat(np.eye(c), 100, axis=0) * (1 - 1e-9) + 1e-10
+    m_sorted, _ = inception_score(sorted_onehot, splits=4, shuffle=False)
+    np.testing.assert_allclose(m_sorted, 1.0, rtol=1e-3)
+    m_shuf, _ = inception_score(sorted_onehot, splits=4, shuffle=True)
+    assert m_shuf > 3.0
+    # n < splits: no empty-split NaN
+    m_tiny, s_tiny = inception_score(sorted_onehot[:3], splits=10)
+    assert np.isfinite(m_tiny) and np.isfinite(s_tiny)
