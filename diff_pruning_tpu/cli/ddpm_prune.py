@@ -37,6 +37,11 @@ def parse_args(argv=None):
                         "on-device lax.while_loop — much faster behind the "
                         "chip tunnel)")
     p.add_argument("--global_pruning", action="store_true")
+    p.add_argument("--normalizer", type=str, default=None,
+                   choices=["sum", "mean", "max", "standarization", "gaussian"],
+                   help="per-group score normalizer "
+                        "(torch_pruning importance.py:25-40); affects only "
+                        "--global_pruning rankings (default: mean)")
     p.add_argument("--use_generated_samples", action="store_true",
                    help="accumulate Taylor grads on the model's OWN samples "
                         "instead of dataset images "
@@ -131,13 +136,31 @@ def main(argv=None):
             thr = args.thr if args.pruner == "diff-pruning" else None
             print("Accumulating gradients for pruning...")
             t0 = time.time()
-            sweep = accumulate_taylor_grads if args.host_loop else accumulate_taylor_grads_scan
-            res_sweep = sweep(model, params, schedule, x0, noise,
-                              thr=thr, max_steps=args.max_steps, loss_type="mse")
+            if args.host_loop:
+                res_sweep = accumulate_taylor_grads(
+                    model, params, schedule, x0, noise,
+                    thr=thr, max_steps=args.max_steps, loss_type="mse")
+            else:
+                # SPMD sweep over every chip that evenly divides the batch
+                from ..parallel.mesh import make_mesh
+
+                n_dev = len(jax.devices())
+                n_use = max(d for d in range(1, n_dev + 1)
+                            if x0.shape[0] % d == 0)
+                mesh = (make_mesh((("data", n_use),),
+                                  devices=jax.devices()[:n_use])
+                        if n_use > 1 else None)
+                if mesh is not None:
+                    print(f"sweep mesh: {dict(mesh.shape)}")
+                res_sweep = accumulate_taylor_grads_scan(
+                    model, params, schedule, x0, noise,
+                    thr=thr, max_steps=args.max_steps, loss_type="mse",
+                    mesh=mesh)
             grads = res_sweep.grads
             print(f"  sweep: {res_sweep.steps_run} timesteps in {time.time()-t0:.1f}s")
 
-        imp = make_importance(args.pruner, seed=args.seed)
+        imp = make_importance(args.pruner, seed=args.seed,
+                              normalizer=args.normalizer)
         result = prune(model.graph, params, imp, sparsity=args.pruning_ratio,
                        grads=grads, global_pruning=args.global_pruning)
         new_params = apply_pruning(params, model.graph, result)

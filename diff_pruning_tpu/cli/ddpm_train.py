@@ -40,6 +40,11 @@ def parse_args(argv=None):
     p.add_argument("--vis_samples", type=int, default=64)
     p.add_argument("--kd", action="store_true", help="distill from the unpruned teacher")
     p.add_argument("--teacher_path", type=str, default=None)
+    p.add_argument("--logger", type=str, default="tensorboard",
+                   choices=["tensorboard", "wandb"],
+                   help="experiment tracker (ddpm_train.py:180-188); wandb "
+                        "needs the package installed (WANDB_MODE=offline "
+                        "works without network)")
     p.add_argument("--steps_per_dispatch", type=int, default=32,
                    help="optimizer steps fused into one device dispatch "
                         "(amortizes host->device latency; measured on v5e: "
@@ -137,11 +142,12 @@ def main(argv=None):
     os.makedirs(os.path.join(args.output_dir, "vis"), exist_ok=True)
     archive_command(args.output_dir, "diff_pruning_tpu.cli.ddpm_train", argv)
     metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
-    # TensorBoard scalars (the reference's accelerate tracker,
-    # ddpm_train.py:519-530), written natively — utils/tensorboard.py
-    from ..utils.tensorboard import SummaryWriter
+    # experiment tracker (the reference's accelerate tracker choice,
+    # ddpm_train.py:180-188,519-530) — native TFRecord TB or wandb
+    from ..utils.tracking import make_tracker
 
-    tb = SummaryWriter(os.path.join(args.output_dir, "logs"))
+    tb = make_tracker(args.logger, os.path.join(args.output_dir, "logs"),
+                      config=vars(args))
 
     def make_vis(params_for_vis, tag):
         vis_model = UNet2D(dataclasses.replace(cfg, dropout=0.0))

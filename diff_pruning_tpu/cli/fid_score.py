@@ -23,6 +23,11 @@ def parse_args(argv=None):
     p.add_argument("--clean", action="store_true",
                    help="clean-fid preprocessing (antialiased PIL-bicubic "
                         "resize) — the reference calc_fid.py variant")
+    p.add_argument("--random-init-seed", type=int, default=None,
+                   help="use a fixed-seed RANDOM-init inception instead of "
+                        "the pt_inception weights (zero-egress fallback): a "
+                        "deterministic relative two-sample distance, NOT "
+                        "comparable to published FID numbers")
     return p.parse_args(argv)
 
 
@@ -42,6 +47,12 @@ def main(argv=None):
     mesh = make_mesh() if len(jax.devices()) > 1 else None
 
     params = load_fid_inception_params(args.inception_weights)
+    if params is None and args.random_init_seed is not None:
+        from ..eval.inception import random_init_fid_inception_params
+
+        print(f"NOTE: random-init inception (seed={args.random_init_seed}) — "
+              "relative distance only, not comparable to published FID")
+        params = random_init_fid_inception_params(args.random_init_seed)
     if params is None:
         raise SystemExit(
             "FID inception weights not found locally. Provide --inception-weights "

@@ -215,6 +215,20 @@ def get_dataset(name_or_path: str, resolution: Optional[int] = None):
     if name_or_path.startswith("ffhq:"):
         return FFHQDataset(name_or_path[len("ffhq:"):],
                            resolution=resolution or 256)
+    if name_or_path.startswith("imagenet:"):
+        # synset/filelist machinery (ldm_exp/ldm/data/imagenet.py:26-131)
+        from .ldm_datasets import ImageNetDataset
+
+        return ImageNetDataset(name_or_path[len("imagenet:"):],
+                               size=resolution or 256)
+    if name_or_path.startswith("txt:"):
+        # 'txt:<filelist>:<data_root>' — the LSUN txt-list contract
+        # (ldm_exp/ldm/data/lsun.py:10-36)
+        from .ldm_datasets import TxtListDataset
+
+        _, txt, root = name_or_path.split(":", 2)
+        # flip_p=0: iterate_batches owns flip augmentation here
+        return TxtListDataset(txt, root, size=resolution or 256, flip_p=0.0)
     if name_or_path.endswith(".npz"):
         return load_npz(name_or_path)
     if os.path.isdir(name_or_path):
@@ -256,8 +270,12 @@ def normalize(batch_u8: np.ndarray) -> np.ndarray:
 
 
 def logit_transform(x01: np.ndarray, lam: float = 1e-6) -> np.ndarray:
-    """ddpm_exp/datasets/__init__.py:179-181."""
-    x = lam + (1.0 - 2.0 * lam) * x01
+    """ddpm_exp/datasets/__init__.py:184-186, with the input clamped to
+    [0,1] first: dequantization noise can push pixels slightly outside the
+    domain, where the reference's torch.log silently yields NaN — a silent
+    NaN source in the input pipeline (documented deviation: NaN-free by
+    construction; in-domain values are bit-identical)."""
+    x = lam + (1.0 - 2.0 * lam) * np.clip(x01, 0.0, 1.0)
     return np.log(x) - np.log1p(-x)
 
 

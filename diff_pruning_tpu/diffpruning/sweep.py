@@ -32,6 +32,7 @@ ddpm_exp prune path uses sum-per-image/mean-batch
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -135,6 +136,7 @@ def accumulate_taylor_grads_scan(
     max_steps: Optional[int] = None,
     loss_type: str = "mse",
     dtype: Optional[str] = None,
+    mesh=None,
 ) -> SweepResult:
     """Single-jit variant: the whole early-exit sweep as lax.while_loop.
 
@@ -142,11 +144,25 @@ def accumulate_taylor_grads_scan(
     and the early-exit loss ratio stay f32). NOTE: measured SLOWER than the
     default on v5e (117 vs 65 ms for a bare step) — this platform's default
     matmul precision already runs the MXU bf16 path on f32 arrays, and the
-    explicit casts only add memory traffic. Kept for parity experiments."""
+    explicit casts only add memory traffic. Kept for parity experiments.
+
+    ``mesh``: shard x0/noise over the mesh's 'data' axis, params replicated —
+    the whole early-exit sweep (the paper's core workload,
+    ddpm_prune.py:94-106) runs SPMD over the slice: each device takes B/n of
+    the batch through fwd+bwd and GSPMD all-reduces the mean-loss (the
+    early-exit predicate stays a global scalar, so the exit step is
+    IDENTICAL to single-device) and the grad pytree. The reference is
+    single-GPU here; this goes beyond it."""
     T = schedule.num_train_timesteps if max_steps is None else max_steps
     fn = _cached_sweep_fn(model, schedule, T, loss_type,
-                          None if dtype is None else str(dtype))
+                          None if dtype is None else str(dtype), mesh)
     thr_v = jnp.float32(-1.0 if thr is None else float(thr))
+    if mesh is not None:
+        from ..parallel.mesh import replicate, shard_batch
+
+        params = replicate(mesh, params)
+        x0 = shard_batch(mesh, jnp.asarray(x0))
+        noise = shard_batch(mesh, jnp.asarray(noise))
     k, grads, losses = fn(params, x0, noise, thr_v)
     return SweepResult(grads, losses, int(k))
 
@@ -155,19 +171,28 @@ _SWEEP_CACHE: dict = {}
 
 
 def _cached_sweep_fn(model, schedule: DiffusionSchedule, T: int,
-                     loss_type: str, dtype: Optional[str]):
+                     loss_type: str, dtype: Optional[str], mesh=None):
     """Build (and cache) the jitted whole-sweep program. params/x0/noise are
     ARGUMENTS, not closure constants: a closed-over 143MB param pytree gets
     embedded as literals in a fresh jaxpr per call, which defeats jit's
     cache and re-stages the constants every invocation (measured 128 ms/step
     vs 56 ms/step for the same while_loop with proper arguments on v5e)."""
-    key = (id(model), id(schedule), T, loss_type, dtype)
+    key = (id(model), id(schedule), T, loss_type, dtype, id(mesh))
     if key in _SWEEP_CACHE:
         return _SWEEP_CACHE[key]
     loss_fn = make_loss_fn(model, schedule, loss_type,
                            jnp.dtype(dtype) if dtype else None)
 
-    @jax.jit
+    jit_kwargs = {}
+    if mesh is not None:
+        from ..parallel.mesh import data_sharding, replicated
+
+        rep, dat = replicated(mesh), data_sharding(mesh)
+        # grads follow the replicated params; losses/k are global scalars
+        jit_kwargs = dict(in_shardings=(rep, dat, dat, rep),
+                          out_shardings=(rep, rep, rep))
+
+    @partial(jax.jit, **jit_kwargs)
     def sweep(params, x0, noise, thr_v):
         def cond(carry):
             k, _, _, done, _ = carry

@@ -202,6 +202,90 @@ def torch_inception_state_dict_to_params(sd) -> dict:
     return out
 
 
+def random_init_fid_inception_params(seed: int = 0) -> dict:
+    """Seeded random-init params with the exact pt_inception shapes.
+
+    For zero-egress environments where the FID weights
+    (pt_inception-2015-12-05, reference inception.py:13) cannot be fetched:
+    a fixed-seed random CNN is a deterministic feature extractor, so the
+    Fréchet distance it induces is a valid *relative* two-sample distance
+    (compare two sample sets against each other) — it is NOT comparable to
+    published FID numbers. The channel plan is torchvision inception_v3's
+    (the reference wires the same blocks). ``seed`` may also be a
+    ``np.random.Generator``."""
+    rng = seed if isinstance(seed, np.random.Generator) else np.random.default_rng(seed)
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv(name, cin, cout, kh, kw):
+        sd[f"{name}.conv.weight"] = (
+            rng.standard_normal((cout, cin, kh, kw)).astype(np.float32) * 0.05)
+        sd[f"{name}.bn.weight"] = np.abs(rng.standard_normal(cout)).astype(np.float32) + 0.5
+        sd[f"{name}.bn.bias"] = rng.standard_normal(cout).astype(np.float32) * 0.1
+        sd[f"{name}.bn.running_mean"] = rng.standard_normal(cout).astype(np.float32) * 0.1
+        sd[f"{name}.bn.running_var"] = np.abs(rng.standard_normal(cout)).astype(np.float32) + 1.0
+
+    conv("Conv2d_1a_3x3", 3, 32, 3, 3)
+    conv("Conv2d_2a_3x3", 32, 32, 3, 3)
+    conv("Conv2d_2b_3x3", 32, 64, 3, 3)
+    conv("Conv2d_3b_1x1", 64, 80, 1, 1)
+    conv("Conv2d_4a_3x3", 80, 192, 3, 3)
+
+    def block_a(name, cin, pool):
+        conv(f"{name}.branch1x1", cin, 64, 1, 1)
+        conv(f"{name}.branch5x5_1", cin, 48, 1, 1)
+        conv(f"{name}.branch5x5_2", 48, 64, 5, 5)
+        conv(f"{name}.branch3x3dbl_1", cin, 64, 1, 1)
+        conv(f"{name}.branch3x3dbl_2", 64, 96, 3, 3)
+        conv(f"{name}.branch3x3dbl_3", 96, 96, 3, 3)
+        conv(f"{name}.branch_pool", cin, pool, 1, 1)
+
+    block_a("Mixed_5b", 192, 32)
+    block_a("Mixed_5c", 256, 64)
+    block_a("Mixed_5d", 288, 64)
+    conv("Mixed_6a.branch3x3", 288, 384, 3, 3)
+    conv("Mixed_6a.branch3x3dbl_1", 288, 64, 1, 1)
+    conv("Mixed_6a.branch3x3dbl_2", 64, 96, 3, 3)
+    conv("Mixed_6a.branch3x3dbl_3", 96, 96, 3, 3)
+
+    def block_c(name, c7):
+        conv(f"{name}.branch1x1", 768, 192, 1, 1)
+        conv(f"{name}.branch7x7_1", 768, c7, 1, 1)
+        conv(f"{name}.branch7x7_2", c7, c7, 1, 7)
+        conv(f"{name}.branch7x7_3", c7, 192, 7, 1)
+        conv(f"{name}.branch7x7dbl_1", 768, c7, 1, 1)
+        conv(f"{name}.branch7x7dbl_2", c7, c7, 7, 1)
+        conv(f"{name}.branch7x7dbl_3", c7, c7, 1, 7)
+        conv(f"{name}.branch7x7dbl_4", c7, c7, 7, 1)
+        conv(f"{name}.branch7x7dbl_5", c7, 192, 1, 7)
+        conv(f"{name}.branch_pool", 768, 192, 1, 1)
+
+    block_c("Mixed_6b", 128)
+    block_c("Mixed_6c", 160)
+    block_c("Mixed_6d", 160)
+    block_c("Mixed_6e", 192)
+    conv("Mixed_7a.branch3x3_1", 768, 192, 1, 1)
+    conv("Mixed_7a.branch3x3_2", 192, 320, 3, 3)
+    conv("Mixed_7a.branch7x7x3_1", 768, 192, 1, 1)
+    conv("Mixed_7a.branch7x7x3_2", 192, 192, 1, 7)
+    conv("Mixed_7a.branch7x7x3_3", 192, 192, 7, 1)
+    conv("Mixed_7a.branch7x7x3_4", 192, 192, 3, 3)
+
+    def block_e(name, cin):
+        conv(f"{name}.branch1x1", cin, 320, 1, 1)
+        conv(f"{name}.branch3x3_1", cin, 384, 1, 1)
+        conv(f"{name}.branch3x3_2a", 384, 384, 1, 3)
+        conv(f"{name}.branch3x3_2b", 384, 384, 3, 1)
+        conv(f"{name}.branch3x3dbl_1", cin, 448, 1, 1)
+        conv(f"{name}.branch3x3dbl_2", 448, 384, 3, 3)
+        conv(f"{name}.branch3x3dbl_3a", 384, 384, 1, 3)
+        conv(f"{name}.branch3x3dbl_3b", 384, 384, 3, 1)
+        conv(f"{name}.branch_pool", cin, 192, 1, 1)
+
+    block_e("Mixed_7b", 1280)
+    block_e("Mixed_7c", 2048)
+    return torch_inception_state_dict_to_params(sd)
+
+
 def load_fid_inception_params(path: Optional[str] = None) -> Optional[dict]:
     """Load FID inception weights from a local file (.pth or .npz).
 

@@ -142,8 +142,53 @@ def full_taylor_importance(graph, params, var, *, grads, second_order: bool = Tr
     return _group_scores(graph, params, var, local, grads=grads)
 
 
-def make_importance(name: str, *, seed: int = 0, multivariable: Optional[bool] = None) -> ScoreFn:
-    """Factory keyed by the reference's --pruner choices (ddpm_prune.py:23)."""
+def normalize_scores(imp: np.ndarray, normalizer) -> np.ndarray:
+    """The reference's per-group score normalizer family
+    (ddpm_exp/torch_pruning/importance.py:25-40, MagnitudeImportance
+    ._normalize): None | callable | 'sum' | 'standarization' (min-max;
+    'standardization' accepted too) | 'mean' | 'max' | 'gaussian'.
+
+    Every variant is monotonic within a var, so LOCAL ranking is unchanged;
+    they matter for GLOBAL pooling, where cross-layer scale decides which
+    layers absorb the drops."""
+    if normalizer is None:
+        return imp
+    if callable(normalizer):
+        return np.asarray(normalizer(imp))
+    imp = imp.astype(np.float64)
+    if normalizer == "sum":
+        return imp / imp.sum()
+    if normalizer in ("standarization", "standardization"):
+        return (imp - imp.min()) / (imp.max() - imp.min() + 1e-8)
+    if normalizer == "mean":
+        return imp / imp.mean()
+    if normalizer == "max":
+        return imp / imp.max()
+    if normalizer == "gaussian":
+        return (imp - imp.mean()) / (imp.std() + 1e-8)
+    raise ValueError(f"unknown normalizer {normalizer!r}")
+
+
+def make_importance(name: str, *, seed: int = 0,
+                    multivariable: Optional[bool] = None,
+                    normalizer=None) -> ScoreFn:
+    """Factory keyed by the reference's --pruner choices (ddpm_prune.py:23).
+
+    ``normalizer`` applies normalize_scores to every var's score vector (the
+    reference normalizes at the end of each Importance.__call__). The
+    returned fn carries it as ``.normalizer`` so the pruner's global mode
+    knows normalization already happened."""
+    fn = _make_raw_importance(name, seed=seed, multivariable=multivariable)
+    if normalizer is not None:
+        raw = fn
+        fn = lambda graph, params, var, grads=None: normalize_scores(
+            raw(graph, params, var, grads=grads), normalizer)
+    fn.normalizer = normalizer
+    return fn
+
+
+def _make_raw_importance(name: str, *, seed: int = 0,
+                         multivariable: Optional[bool] = None) -> ScoreFn:
     if name in ("random", "reinit"):
         rng = np.random.default_rng(seed)
         return lambda graph, params, var, grads=None: random_importance(

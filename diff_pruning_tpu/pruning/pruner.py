@@ -82,12 +82,19 @@ def prune(
     global_pruning: bool = False,
     round_to: Optional[int] = None,
     max_sparsity: float = 1.0,
+    cost_weights: Optional[Mapping[str, float]] = None,
 ) -> PruneResult:
     """`round_to` tightens every var's rounding for this call
     (ldm_exp/prune_ldm.py:99 passes round_to=2 globally). ``max_sparsity``
     caps the per-var drop fraction in global mode (metapruner.py:172-194);
     ``sparsity_per_var`` sets per-var targets in local mode and acts as a
-    per-var cap in global mode."""
+    per-var cap in global mode.
+
+    ``cost_weights`` ({var: cost per channel}, see pruning/cost.py) turns
+    global mode bandwidth-aware: candidates are ranked by importance per
+    unit hardware cost, so the pool preferentially drops channels that cost
+    machine time rather than just MACs — beyond the reference, which has no
+    hardware model at all."""
     ignored = set(ignored_vars)
     vars_ = [v for v in graph.prunable_vars() if v.name not in ignored]
     eff_rt = {v.name: max(v.round_to, round_to or 1) for v in vars_}
@@ -100,13 +107,27 @@ def prune(
         # Reduce each var's score to per-"channel-group" scalars, pool, and
         # threshold globally (metapruner.py:256-297): with group_div>1 only
         # the first sub-block participates in the pool and the chosen drops
-        # replicate across sub-blocks. Scores are mean-normalized per var
-        # before pooling (the reference importance's normalizer step) —
-        # without it, cross-layer scale differences concentrate all drops in
-        # a few low-magnitude layers.
-        norm_scores = {
-            v.name: scores[v.name] / max(scores[v.name].mean(), 1e-30)
-            for v in vars_}
+        # replicate across sub-blocks. Unless the importance fn already
+        # normalized (make_importance(normalizer=...) marks itself), scores
+        # are mean-normalized per var before pooling (the reference
+        # importance's default normalizer) — without it, cross-layer scale
+        # differences concentrate all drops in a few low-magnitude layers.
+        if getattr(importance, "normalizer", None) is not None:
+            norm_scores = scores
+        else:
+            norm_scores = {
+                v.name: scores[v.name] / max(scores[v.name].mean(), 1e-30)
+                for v in vars_}
+        if cost_weights is not None:
+            # importance per unit cost; costs normalized to mean 1 over the
+            # participating vars so thresholds stay in importance units
+            cw = np.asarray([max(cost_weights.get(v.name, 0.0), 0.0)
+                             for v in vars_], dtype=np.float64)
+            cw = np.where(cw <= 0.0, cw[cw > 0].mean() if (cw > 0).any() else 1.0, cw)
+            cw = cw / cw.mean()
+            norm_scores = {
+                v.name: norm_scores[v.name] / cw[i]
+                for i, v in enumerate(vars_)}
         pooled = []
         for v in vars_:
             imp = norm_scores[v.name]

@@ -66,23 +66,57 @@ def _opt_state_by_keypath(opt_state) -> dict:
 
 
 def save_train_state(path: str, *, step: int, params: dict, ema_params=None,
-                     opt_state=None, extra_meta: dict = None) -> None:
+                     opt_state=None, extra_meta: dict = None,
+                     keep: int = 2) -> None:
     """``extra_meta`` records everything resume needs beyond pytrees:
     seed, batches_consumed (data-iterator position) — the reference's
-    broken --resume_from_checkpoint (ddpm_train.py:429) done right."""
-    os.makedirs(path, exist_ok=True)
-    save_params_npz(os.path.join(path, "params.npz"), params)
+    broken --resume_from_checkpoint (ddpm_train.py:429) done right.
+
+    Crash-atomic: every save goes to a fresh ``step-<N>/`` subdir and the
+    ``LATEST`` pointer file is os.replace'd only after all files are on
+    disk, so a SIGKILL at ANY instant (docs/FULLRUN.md's mid-run kill)
+    leaves the previous checkpoint fully loadable. The newest ``keep``
+    step dirs are retained, older ones deleted."""
+    d = os.path.join(path, f"step-{int(step)}")
+    os.makedirs(d, exist_ok=True)
+    save_params_npz(os.path.join(d, "params.npz"), params)
     if ema_params is not None:
-        save_params_npz(os.path.join(path, "ema_params.npz"), ema_params)
+        save_params_npz(os.path.join(d, "ema_params.npz"), ema_params)
     if opt_state is not None:
         by_path = _opt_state_by_keypath(opt_state)
-        np.savez(os.path.join(path, "opt_state.npz"),
+        np.savez(os.path.join(d, "opt_state.npz"),
                  **{k: np.asarray(v) for k, v in by_path.items()})
     meta = {"step": int(step)}
     if extra_meta:
         meta.update(extra_meta)
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(d, "meta.json"), "w") as f:
         json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    tmp = os.path.join(path, ".LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(f"step-{int(step)}")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, "LATEST"))
+    # retire old versions (never the one LATEST points to)
+    old = sorted((e for e in os.listdir(path)
+                  if e.startswith("step-") and e != f"step-{int(step)}"),
+                 key=lambda e: int(e.split("-")[1]))
+    for e in old[:-(keep - 1)] if keep > 1 else old:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
+
+def _resolve_ckpt_dir(path: str) -> str:
+    """Follow the LATEST pointer of a versioned checkpoint dir; a legacy
+    flat layout (meta.json directly inside) resolves to itself."""
+    latest = os.path.join(path, "LATEST")
+    if os.path.exists(latest):
+        with open(latest) as f:
+            return os.path.join(path, f.read().strip())
+    return path
 
 
 def restore_opt_state(path: str, opt_state_template):
@@ -90,7 +124,7 @@ def restore_opt_state(path: str, opt_state_template):
     by keypath. Raises on any missing path (a silent partial restore would
     corrupt Adam moments). Returns the template unchanged if no opt_state.npz
     exists. Legacy flat-index archives ('0','1',...) restore positionally."""
-    opt_path = os.path.join(path, "opt_state.npz")
+    opt_path = os.path.join(_resolve_ckpt_dir(path), "opt_state.npz")
     if not os.path.exists(opt_path):
         return opt_state_template, False
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(
@@ -114,6 +148,7 @@ def restore_opt_state(path: str, opt_state_template):
 def load_train_state(path: str):
     """Returns (meta dict, params, ema_params|None). Optimizer state is
     restored separately via restore_opt_state (it needs a template)."""
+    path = _resolve_ckpt_dir(path)
     params = load_params_npz(os.path.join(path, "params.npz"))
     ema = None
     ema_path = os.path.join(path, "ema_params.npz")

@@ -47,6 +47,27 @@ def test_sweep_host_vs_scan_equal(tiny):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
 
 
+def test_sweep_mesh_matches_single_device(tiny):
+    """SPMD sweep on the 8-device mesh: same early-exit step and grads as
+    single-device (the paper's core workload mesh-sharded — the batch splits
+    over 'data', GSPMD all-reduces the mean loss so the exit predicate stays
+    global)."""
+    _, model, params = tiny
+    sched = DiffusionSchedule.create(num_train_timesteps=50)
+    x0 = jax.random.normal(jax.random.key(1), (8, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(2), (8, 16, 16, 3))
+    mesh = make_mesh()
+    with jax.default_matmul_precision("float32"):
+        r1 = accumulate_taylor_grads_scan(model, params, sched, x0, noise,
+                                          thr=0.9, max_steps=50)
+        r2 = accumulate_taylor_grads_scan(model, params, sched, x0, noise,
+                                          thr=0.9, max_steps=50, mesh=mesh)
+    assert r1.steps_run == r2.steps_run
+    for a, b in zip(jax.tree.leaves(r1.grads), jax.tree.leaves(r2.grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=1e-5)
+
+
 def test_sweep_early_exit_semantics(tiny):
     """Break AFTER accumulating the breaking step (ddpm_prune.py:100-106):
     with thr high enough to trip at step 1, grads include steps 0 and 1."""
