@@ -14,9 +14,9 @@ the model's own layers:
                  weight traffic per channel (what a bandwidth-bound chip
                  actually pays). dtype_bytes=2 models the bf16 compute path.
   mode='hybrid'— bytes + macs/peak_ratio: a simple roofline blend where
-                 peak_ratio ~ (peak FLOPs)/(peak bytes/s); v5e ≈ 394e12/8.2e11
-                 ≈ 480 FLOP per byte — i.e. MACs only matter where they
-                 exceed ~240 MACs per byte moved.
+                 peak_ratio ~ (peak FLOPs)/(peak bytes/s); v5e ≈ 197e12/8.2e11
+                 ≈ 240 FLOP per byte — i.e. MACs only matter where they
+                 exceed ~120 MACs per byte moved.
 
 The pruner consumes these as ``prune(..., cost_weights=...)``: global-mode
 candidates are ranked by importance per unit cost, so the pool drops the
@@ -33,8 +33,8 @@ import numpy as np
 
 from .graph import ChannelVar, _parts_of
 
-# v5e roofline: 394 TFLOP/s bf16 vs ~819 GB/s HBM -> ~480 FLOP/byte
-V5E_FLOP_PER_BYTE = 480.0
+# v5e roofline: 197 TFLOP/s bf16 vs ~819 GB/s HBM -> ~240 FLOP/byte
+V5E_FLOP_PER_BYTE = 240.0
 
 
 def var_cost_weights(model, params, sample_shape=(1, 32, 32, 3), *,

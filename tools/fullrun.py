@@ -174,18 +174,21 @@ def main():
     base_dir = os.path.join(out, "base")
     if not st.done("base"):
         if not os.path.exists(os.path.join(base_init, "unet", "params.npz")):
-            import dataclasses
-
-            import jax
-
-            from diff_pruning_tpu.models.unet2d import (UNet2D,
-                                                        ddpm_cifar10_config)
-            from diff_pruning_tpu.utils.checkpoint import save_model
-
-            cfg = ddpm_cifar10_config()
-            params = UNet2D(cfg).init(jax.random.key(0))
-            save_model(base_init, cfg, params, subfolder="unet")
-            del params
+            # init needs no TPU; a CPU subprocess avoids an uncached
+            # multi-minute remote compile of the init program
+            env = dict(os.environ, JAX_PLATFORMS="cpu")
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import sys; sys.path.insert(0, %r)\n"
+                 "import jax\n"
+                 "from diff_pruning_tpu.models.unet2d import UNet2D, "
+                 "ddpm_cifar10_config\n"
+                 "from diff_pruning_tpu.utils.checkpoint import save_model\n"
+                 "cfg = ddpm_cifar10_config()\n"
+                 "save_model(%r, cfg, UNet2D(cfg).init(jax.random.key(0)), "
+                 "subfolder='unet')\n" % (REPO, base_init)],
+                cwd=REPO, env=env).returncode
+            assert rc == 0, "base init failed"
         rc, dt = sh(out, "base", [
             "diff_pruning_tpu.cli.ddpm_train",
             "--dataset", data_npz, "--model_path", base_init,
