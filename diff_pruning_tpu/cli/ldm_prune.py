@@ -108,6 +108,9 @@ def main(argv=None):
             lambda up, lat, lab, t, n: ldm.get_loss_at_t(
                 {**params, "unet": up}, lat, lab, t, n)))
         grads = jax.tree.map(jnp.zeros_like, params["unet"])
+        # one dispatch per accumulate: an eager tree.map(jnp.add) is ~700
+        # separate ops per step — seconds of per-op latency on this tunnel
+        acc_fn = jax.jit(lambda a, b: jax.tree.map(jnp.add, a, b))
         key = jax.random.key(args.seed)
         max_loss = -1.0
         thr = args.thr if args.pruner == "diff-pruning" else 0.0
@@ -126,7 +129,7 @@ def main(argv=None):
                 break
             # reference order (prune_ldm.py:123-131): the breaking step's
             # grads are NOT accumulated (backward comes after the break check)
-            grads = jax.tree.map(jnp.add, grads, g)
+            grads = acc_fn(grads, g)
             if t % 20 == 0:
                 print(f"  t={t} loss={loss:.5f} ratio={loss/max_loss:.3f}")
         print(f"  sweep: {t+1} steps in {time.time()-t0:.1f}s")

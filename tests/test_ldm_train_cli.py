@@ -78,7 +78,10 @@ def test_ldm_train_smoke_and_resume(workspace, tmp_path):
     full = tmp_path / "full"
     _run(workspace, full, num_iters=8)
     assert os.path.exists(full / "unet" / "params.npz")
-    assert os.path.exists(full / "ckpt" / "opt_state.npz")
+    from diff_pruning_tpu.utils.checkpoint import _resolve_ckpt_dir
+
+    assert os.path.exists(
+        os.path.join(_resolve_ckpt_dir(str(full / "ckpt")), "opt_state.npz"))
     assert os.path.exists(full / "run.sh")
     import glob
 
