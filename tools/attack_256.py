@@ -42,18 +42,22 @@ BW_PEAK = 8.19e11  # v5e HBM ~819 GB/s
 FLOP_PEAK = 197e12  # v5e bf16
 
 
+RES = int(os.environ.get("ATTACK_RES", "256"))  # 32 = CIFAR (CPU shakeout)
+
+
 def build(batch=8, steps=100):
     import jax
     import jax.numpy as jnp
 
-    from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_lsun256_config
+    from diff_pruning_tpu.models.unet2d import (UNet2D, ddpm_cifar10_config,
+                                                ddpm_lsun256_config)
     from diff_pruning_tpu.sampling.ddim_sampler import SamplerConfig, make_sampler
     from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
     from diff_pruning_tpu.utils.compile_cache import (
         enable_persistent_compilation_cache)
 
     enable_persistent_compilation_cache()
-    cfg = ddpm_lsun256_config()
+    cfg = ddpm_lsun256_config() if RES == 256 else ddpm_cifar10_config()
     model = UNet2D(cfg)
     # init on the host CPU backend: a fresh on-chip init program is an
     # uncached multi-minute remote compile for zero benefit
@@ -77,11 +81,11 @@ def timeit(sampler, batch=8, reps=2):
         return float(jnp.sum(x))
 
     t0 = time.perf_counter()
-    sync(sampler(__import__("jax").random.key(0), batch, 256, 3))
+    sync(sampler(__import__("jax").random.key(0), batch, RES, 3))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for i in range(reps):
-        sync(sampler(__import__("jax").random.key(i + 1), batch, 256, 3))
+        sync(sampler(__import__("jax").random.key(i + 1), batch, RES, 3))
     dt = (time.perf_counter() - t0) / reps
     return batch / dt, dt, compile_s
 
@@ -111,7 +115,7 @@ def phase_roofline(batch=8, steps=100):
     prev_j = jnp.asarray(prev, jnp.int32)
 
     def body(key):
-        x = jax.random.normal(key, (batch, 256, 256, 3))
+        x = jax.random.normal(key, (batch, RES, RES, 3))
 
         def step(carry, inp):
             x, = carry
@@ -252,7 +256,7 @@ def phase_mitigate(batch=8, steps=100, which="all"):
 
             @jax.jit
             def sample(key, b, hw, ch):
-                x = jax.random.normal(key, (batch, 256, 256, 3),
+                x = jax.random.normal(key, (batch, RES, RES, 3),
                                       jnp.bfloat16)
 
                 def step(carry, inp):
