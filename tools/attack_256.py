@@ -151,6 +151,64 @@ def phase_roofline(batch=8, steps=100):
     return out
 
 
+def phase_trace(batch=8, steps=100, outdir="/tmp/trace_256"):
+    """Capture a jax.profiler trace of the sampling program and print the
+    top self-time ops from the xplane (xprof is in the image). Artifact +
+    parsed attribution go in docs/PERF.md."""
+    import glob
+
+    import jax
+
+    _, _, _, sampler = build(batch, steps)
+    ips, dt, _ = timeit(sampler, batch)  # warm + baseline number
+    with jax.profiler.trace(outdir):
+        timeit(sampler, batch, reps=1)
+    print(json.dumps({"phase": "trace", "imgs_per_sec": round(ips, 3),
+                      "outdir": outdir}), flush=True)
+    traces = sorted(glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
+                              recursive=True))
+    if not traces:
+        print(json.dumps({"phase": "trace", "error": "no trace captured"}))
+        return
+    top = parse_trace_top_ops(traces[-1])
+    for row in top[:30]:
+        print(json.dumps({"phase": "trace_op", **row}), flush=True)
+
+
+def parse_trace_top_ops(trace_json_gz):
+    """Aggregate per-op device time from the Chrome trace jax.profiler
+    writes alongside the xplane: 'X' events on device pids' 'XLA Ops'
+    threads, summed by op name and by coarse category (conv / matmul /
+    fusion / reduce / etc.)."""
+    import gzip
+    import re
+
+    with gzip.open(trace_json_gz) as f:
+        d = json.load(f)
+    evs = d.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in evs
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "device" in str(e.get("args", {}).get("name", "")).lower()}
+    op_tids = {(e["pid"], e["tid"]) for e in evs
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["pid"] in dev_pids
+               and "XLA Ops" in str(e.get("args", {}).get("name", ""))}
+    totals, cats = {}, {}
+    for e in evs:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
+        name = e.get("name", "?")
+        us = float(e.get("dur", 0))
+        totals[name] = totals.get(name, 0.0) + us
+        base = re.split(r"[.\d]", name, 1)[0]
+        cats[base] = cats.get(base, 0.0) + us
+    rows = [{"kind": "category", "op": k, "ms": round(v / 1e3, 3)}
+            for k, v in sorted(cats.items(), key=lambda kv: -kv[1])[:12]]
+    rows += [{"kind": "op", "op": k[:120], "ms": round(v / 1e3, 3)}
+             for k, v in sorted(totals.items(), key=lambda kv: -kv[1])[:18]]
+    return rows
+
+
 def phase_ablate(batch=8, steps=100):
     import contextlib
     import unittest.mock as mock
@@ -293,6 +351,8 @@ def main():
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 100
     if which == "roofline":
         phase_roofline(batch, steps)
+    elif which == "trace":
+        phase_trace(batch, steps)
     elif which == "ablate":
         phase_ablate(batch, steps)
     elif which == "baseline":
