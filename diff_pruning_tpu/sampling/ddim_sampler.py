@@ -57,8 +57,17 @@ def params_nbytes(params) -> int:
 def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
                  class_labels: bool = False, mesh=None,
                  data_axis: str = "data", tensor_parallel: bool = False,
-                 model_axis: str = "model") -> Callable:
+                 model_axis: str = "model",
+                 params_as_args: Optional[bool] = None) -> Callable:
     """Returns sample(key, batch_size, hw, channels[, labels]) -> images in [0,1].
+
+    ``params_as_args`` overrides the size-based jit policy. With args mode
+    the returned fn accepts ``params_override=`` so ONE compiled program
+    serves evolving params — callers that sample periodically during
+    training (vis grids every checkpoint) MUST use this: closure-constant
+    params are baked into the HLO, so every new param value is a full
+    recompile (measured ~100 s of overhead per checkpoint save on v5e
+    before cli/ddpm_train switched).
 
     With ``mesh``, the whole trajectory is one SPMD program: the initial
     noise (and labels) are sharded over the mesh's data axis, params are
@@ -104,7 +113,8 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
     # (HTTP 413). For small models they stay closure constants — measured
     # ~5% faster (95.1 vs 90.6 imgs/s on the CIFAR UNet: XLA folds the
     # constant weights into its fusions). docs/PERF.md.
-    as_args = params_nbytes(params) > PARAMS_AS_ARGS_BYTES
+    as_args = (params_nbytes(params) > PARAMS_AS_ARGS_BYTES
+               if params_as_args is None else params_as_args)
 
     def _sample_body(params, key, batch_size: int, hw: int, channels: int,
                      labels=None):
@@ -156,8 +166,10 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
         jitted = jax.jit(_sample_body, static_argnums=(2, 3, 4),
                          out_shardings=out_sh)
 
-        def sample(key, batch_size: int, hw: int, channels: int, labels=None):
-            return jitted(params, key, batch_size, hw, channels, labels)
+        def sample(key, batch_size: int, hw: int, channels: int, labels=None,
+                   params_override=None):
+            p = params if params_override is None else params_override
+            return jitted(p, key, batch_size, hw, channels, labels)
     else:
         jitted = jax.jit(functools.partial(_sample_body, params),
                          static_argnums=(1, 2, 3), out_shardings=out_sh)
@@ -165,6 +177,7 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
         def sample(key, batch_size: int, hw: int, channels: int, labels=None):
             return jitted(key, batch_size, hw, channels, labels)
 
+    sample.jitted = jitted  # tests/introspection: retrace-count assertions
     return sample
 
 

@@ -97,3 +97,21 @@ def test_tensor_parallel_sampler_matches_replicated():
     assert len(out.sharding.device_set) == 8
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_params_as_args_override_single_program():
+    """The training-vis contract (cli/ddpm_train.py): one sampler built with
+    ``params_as_args=True`` serves evolving params via ``params_override=``
+    without retracing — rebuilding a closure-constant sampler per checkpoint
+    recompiled the whole 100-step program every save (~100 s each on v5e)."""
+    model, params, sched = _build()
+    scfg = SamplerConfig(num_inference_steps=2)
+    s = make_sampler(model, params, sched, scfg, params_as_args=True)
+    a = s(jax.random.key(0), 4, 16, 3)
+    traced0 = s.jitted._cache_size()
+    p2 = jax.tree.map(lambda x: x + 0.01, params)
+    b = s(jax.random.key(0), 4, 16, 3, params_override=p2)
+    c = s(jax.random.key(0), 4, 16, 3, params_override=params)
+    assert bool(jnp.any(a != b)), "override params must change the output"
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    assert s.jitted._cache_size() == traced0 == 1, "param update retraced"
