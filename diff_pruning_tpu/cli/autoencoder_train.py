@@ -165,10 +165,35 @@ def main(argv=None):
     log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
     tb = SummaryWriter(os.path.join(args.output_dir, "logs"))
     base_key = jax.random.key(args.seed + 2)
+
+    def service_save(host, at_step):
+        from ..utils.checkpoint import save_train_state
+
+        gen_params, gen_opt, disc_params, disc_opt = host
+        d = os.path.join(args.output_dir, "first_stage")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+        save_params_npz(os.path.join(d, "params.npz"), gen_params)
+        ck = os.path.join(args.output_dir, "ckpt")
+        # both optimizers' Adam moments persist (keypath-matched restore
+        # — re-initializing them would spike the G/D balance on resume)
+        save_train_state(os.path.join(ck, "gen"), step=at_step,
+                         params=gen_params, opt_state=gen_opt,
+                         extra_meta={"seed": args.seed})
+        save_train_state(os.path.join(ck, "disc"), step=at_step,
+                         params=disc_params, opt_state=disc_opt,
+                         extra_meta={"seed": args.seed})
+        print(f"saved at step {at_step}", flush=True)
+
     t0, n0 = time.time(), start_step
+    pending_save = None  # host snapshot; disk writes overlap the next chunk
     for step0 in range(start_step, args.num_iters, chunk):
         xs = jnp.asarray(np.stack([next(batches) for _ in range(chunk)]))
         state, m = chunk_step(state, xs, jax.random.fold_in(base_key, step0))
+        if pending_save is not None:
+            service_save(*pending_save)
+            pending_save = None
         step = step0 + chunk
         if step % args.log_steps == 0:
             rec = {"step": step,
@@ -184,24 +209,11 @@ def main(argv=None):
                     tb.add_scalar(f"train/{k}", rec[k], step)
             tb.flush()
         if step % args.save_model_steps == 0 or step >= args.num_iters:
-            from ..utils.checkpoint import save_train_state
-
-            d = os.path.join(args.output_dir, "first_stage")
-            os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, "config.json"), "w") as f:
-                f.write(cfg.to_json())
-            save_params_npz(os.path.join(d, "params.npz"), state.gen_params)
-            ck = os.path.join(args.output_dir, "ckpt")
-            # both optimizers' Adam moments persist (keypath-matched restore
-            # — re-initializing them would spike the G/D balance on resume)
-            save_train_state(os.path.join(ck, "gen"), step=step,
-                             params=state.gen_params, opt_state=state.gen_opt,
-                             extra_meta={"seed": args.seed})
-            save_train_state(os.path.join(ck, "disc"), step=step,
-                             params=state.disc_params,
-                             opt_state=state.disc_opt,
-                             extra_meta={"seed": args.seed})
-            print(f"saved at step {step}")
+            pending_save = (jax.device_get(
+                (state.gen_params, state.gen_opt,
+                 state.disc_params, state.disc_opt)), step)
+    if pending_save is not None:
+        service_save(*pending_save)
     log.close()
     tb.close()
 

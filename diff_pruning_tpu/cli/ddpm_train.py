@@ -167,12 +167,43 @@ def main(argv=None):
     # per-chunk keys derive from (seed, step) — stateless, so resume at any
     # step reproduces the uninterrupted run's noise/timestep/dropout streams
     base_key = jax.random.key(args.seed)
+    def snapshot_save(saved_state, at_step):
+        # Boundary-time device work only: the vis grid (one compiled
+        # program) and ONE pipelined device_get of the whole train state —
+        # per-leaf np.asarray fetches pay a tunnel round-trip each (~600
+        # leaves x ~150 ms RTT was most of the measured ~90 s/save).
+        # The train step donates its input state, so the host copy must be
+        # taken before the next chunk is dispatched; only the ~570 MB of
+        # npz DISK writes are deferred to overlap the next chunk.
+        make_vis(saved_state.ema_params or saved_state.params, f"iter-{at_step}")
+        return (jax.device_get((saved_state.params, saved_state.ema_params,
+                                saved_state.opt_state)), at_step)
+
+    def service_save(host_state, at_step):
+        host_params, host_ema, host_opt = host_state
+        save_train_state(
+            os.path.join(args.output_dir, "ckpt"),
+            step=at_step,
+            params=host_params,
+            ema_params=host_ema,
+            opt_state=host_opt,
+            extra_meta={"seed": args.seed, "batches_consumed": at_step},
+        )
+        save_model(args.output_dir, cfg, host_params, subfolder="unet")
+        if host_ema is not None:
+            save_model(args.output_dir, cfg, host_ema, subfolder="unet_ema")
+        print(f"saved checkpoint at step {at_step}", flush=True)
+
     t_last, s_last = time.time(), start_step
+    pending_save = None  # (host-state pytrees, step): disk writes deferred
     for step0 in range(start_step, args.num_iters, chunk):
         stacked = np.stack([next(batches) for _ in range(chunk)])
         batch = shard_batch(mesh, jnp.asarray(stacked), batch_dim=1)
         skey = jax.random.fold_in(base_key, step0)
         state, metrics = step_fn(state, batch, skey)
+        if pending_save is not None:
+            service_save(*pending_save)
+            pending_save = None
         step = step0 + chunk - 1
         if (step + 1) % args.log_steps == 0:
             loss = float(metrics["loss"])  # forces completion of the chunk
@@ -189,19 +220,9 @@ def main(argv=None):
             tb.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step + 1)
             tb.flush()
         if (step + 1) % args.save_model_steps == 0 or step + 1 == args.num_iters:
-            save_train_state(
-                os.path.join(args.output_dir, "ckpt"),
-                step=step + 1,
-                params=state.params,
-                ema_params=state.ema_params,
-                opt_state=state.opt_state,
-                extra_meta={"seed": args.seed, "batches_consumed": step + 1},
-            )
-            save_model(args.output_dir, cfg, state.params, subfolder="unet")
-            if state.ema_params is not None:
-                save_model(args.output_dir, cfg, state.ema_params, subfolder="unet_ema")
-            make_vis(state.ema_params or state.params, f"iter-{step+1}")
-            print(f"saved checkpoint at step {step+1}")
+            pending_save = snapshot_save(state, step + 1)
+    if pending_save is not None:
+        service_save(*pending_save)
     metrics_log.close()
     tb.close()
 

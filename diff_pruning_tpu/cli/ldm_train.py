@@ -136,7 +136,26 @@ def main(argv=None):
 
     tb = SummaryWriter(os.path.join(args.output_dir, "logs"))
     base_key = jax.random.key(args.seed)
+    # the frozen first-stage/cond-stage never changes: write it once, not
+    # per save
+    cs_dir = os.path.join(args.output_dir, "cond_stage")
+    os.makedirs(cs_dir, exist_ok=True)
+    save_params_npz(os.path.join(cs_dir, "params.npz"), frozen["cond_stage"])
+
+    def service_save(host_state, at_step):
+        host_params, host_opt = host_state
+        save_model(args.output_dir, ucfg, host_params, subfolder="unet")
+        save_train_state(os.path.join(args.output_dir, "ckpt"),
+                         step=at_step, params=host_params,
+                         opt_state=host_opt,
+                         extra_meta={"seed": args.seed,
+                                     "batches_consumed": at_step})
+        print(f"saved at step {at_step}", flush=True)
+
     t0, n0 = time.time(), start_step
+    pending_save = None  # (host pytrees, step): disk writes overlap the
+    # next dispatched chunk; the boundary itself pays ONE pipelined
+    # device_get instead of a tunnel round-trip per leaf (cli/ddpm_train.py)
     for step0 in range(start_step, args.num_iters, chunk):
         imgs, labs = zip(*[next(batches) for _ in range(chunk)])
         imgs = jnp.asarray(np.stack(imgs))
@@ -144,6 +163,9 @@ def main(argv=None):
         sk = jax.random.fold_in(base_key, step0)
         unet_params, opt_state, loss = chunk_step(unet_params, opt_state,
                                                   imgs, labs, sk)
+        if pending_save is not None:
+            service_save(*pending_save)
+            pending_save = None
         step = step0 + chunk
         if step % args.log_steps == 0:
             loss = float(loss)
@@ -158,17 +180,9 @@ def main(argv=None):
             tb.add_scalar("train/imgs_per_sec", rec["imgs_per_sec"], step)
             tb.flush()
         if step % args.save_model_steps == 0 or step >= args.num_iters:
-            save_model(args.output_dir, ucfg, unet_params, subfolder="unet")
-            cs_dir = os.path.join(args.output_dir, "cond_stage")
-            os.makedirs(cs_dir, exist_ok=True)
-            save_params_npz(os.path.join(cs_dir, "params.npz"),
-                            frozen["cond_stage"])
-            save_train_state(os.path.join(args.output_dir, "ckpt"),
-                             step=step, params=unet_params,
-                             opt_state=opt_state,
-                             extra_meta={"seed": args.seed,
-                                         "batches_consumed": step})
-            print(f"saved at step {step}")
+            pending_save = (jax.device_get((unet_params, opt_state)), step)
+    if pending_save is not None:
+        service_save(*pending_save)
     log.close()
     tb.close()
 
