@@ -193,6 +193,13 @@ def parse_trace_top_ops(trace_json_gz):
                if e.get("ph") == "M" and e.get("name") == "thread_name"
                and e["pid"] in dev_pids
                and "XLA Ops" in str(e.get("args", {}).get("name", ""))}
+    if not op_tids:
+        # CPU / other platforms: no "XLA Ops" device thread — fall back to
+        # the XLA executor thread pool (tf_XLA*) so the shakeout still
+        # attributes per-op time
+        op_tids = {(e["pid"], e["tid"]) for e in evs
+                   if e.get("ph") == "M" and e.get("name") == "thread_name"
+                   and "tf_XLA" in str(e.get("args", {}).get("name", ""))}
     totals, cats = {}, {}
     for e in evs:
         if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
