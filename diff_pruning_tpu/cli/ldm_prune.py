@@ -74,7 +74,12 @@ def load_ldm(model_path, config_path, seed=0):
             ldm.first_stage = VQModel(vcfg)
             params["first_stage"] = load_params_npz(fs)
     else:
-        params = ldm.init(jax.random.key(seed))
+        # init on the host CPU backend: a cold on-chip init program is its
+        # own multi-minute remote compile at 400M scale (CLAUDE.md), then
+        # move the whole tree in one batched transfer
+        with jax.default_device(jax.devices("cpu")[0]):
+            params = ldm.init(jax.random.key(seed))
+        params = jax.device_put(params, jax.devices()[0])
     return ldm, params
 
 
