@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-3 on-chip experiment queue — STRICTLY one experiment at a time
+# (CLAUDE.md: concurrent measurements on the single chip fabricate deltas).
+# Run AFTER tools/fullrun.py completes. Each phase appends a JSON line to
+# run/r3_queue/<name>.log so results survive session interruptions.
+set -e
+cd "$(dirname "$0")/.."
+OUT=run/r3_queue
+mkdir -p $OUT
+
+phase() {  # phase <name> <cmd...>
+  local name=$1; shift
+  if [ -f $OUT/$name.done ]; then echo "[queue] $name: done, skip"; return; fi
+  echo "[queue] $name: $*"
+  "$@" 2>&1 | tee -a $OUT/$name.log
+  touch $OUT/$name.done
+}
+
+# 1) 256^2 wall: roofline proof, profiler attribution, in-model ablation,
+#    mitigations (docs/PERF.md model-scale table, VERDICT r2 item 4)
+phase attack_roofline python tools/attack_256.py roofline 8 100
+phase attack_trace    python tools/attack_256.py trace 8 100
+phase attack_ablate   python tools/attack_256.py ablate 8 100
+phase attack_mitigate python tools/attack_256.py mitigate 8 100
+phase attack_vmem     env LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536 \
+                      python tools/attack_256.py baseline 8 100
+
+# 2) bandwidth-aware sparsity allocation vs MACs/importance-only at equal
+#    params (VERDICT r2 item 5)
+phase cost_aware python tools/cost_aware_bench.py 0.3 128
+
+# 3) prune the 400M cin256-v2 LDM on-chip end-to-end (VERDICT r2 item 3)
+phase ldm400_prune python -m diff_pruning_tpu.cli.ldm_prune \
+  --save_path run/r3_queue/ldm400_pruned --sparsity 0.3 --pruner diff-pruning \
+  --thr 0.1 --batch_size 6 --ddim_steps 20 --round_to 2 --max_steps 1000
+
+# 3b) pruned vs base cin256-v2 sampling throughput, identical protocol
+#     (docs/PERF.md baseline row: 0.84 imgs/s at bs8, 250-step CFG)
+phase ldm400_time_pruned python tools/ldm400_pruned_timing.py \
+  run/r3_queue/ldm400_pruned 8 250
+phase ldm400_time_base python tools/ldm400_pruned_timing.py cin256-v2 8 250
+
+# 4) final bench refresh
+phase bench python bench.py
