@@ -130,15 +130,18 @@ def phase_roofline(batch=8, steps=100):
     compiled = jax.jit(body).lower(key).compile()
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    flops = float(ca.get("flops", 0.0))
-    bytes_ = float(ca.get("bytes accessed", 0.0))
+    # XLA cost_analysis counts a lax.scan BODY ONCE, not x its trip count —
+    # the program's true totals are ~steps x the reported numbers (verified:
+    # reported flops = batch x 2 x MACs/eval exactly, one UNet eval)
+    flops = float(ca.get("flops", 0.0)) * steps
+    bytes_ = float(ca.get("bytes accessed", 0.0)) * steps
     t_flops = flops / FLOP_PEAK
     t_bytes = bytes_ / BW_PEAK
     out = {
         "phase": "roofline", "batch": batch, "steps": steps,
         "measured_s": round(dt, 3), "imgs_per_sec": round(ips, 3),
-        "hlo_flops_T": round(flops / 1e12, 2),
-        "hlo_bytes_GB": round(bytes_ / 1e9, 2),
+        "hlo_flops_T_per_step": round(flops / steps / 1e12, 2),
+        "hlo_bytes_GB_per_step": round(bytes_ / steps / 1e9, 2),
         "min_s_flops_roofline": round(t_flops, 3),
         "min_s_bytes_roofline": round(t_bytes, 3),
         "binding": "bytes" if t_bytes > t_flops else "flops",
