@@ -162,14 +162,33 @@ class GroupNorm:
         c = x.shape[-1]
         g = self.num_groups
         xf = x.astype(jnp.float32)
-        # (..., C) -> (batch, -1, g, C//g): normalize over all dims except batch & group
-        b = x.shape[0]
-        xg = xf.reshape(b, -1, g, c // g)
-        mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-        varr = jnp.var(xg, axis=(1, 3), keepdims=True)
-        xg = (xg - mean) * jax.lax.rsqrt(varr + self.eps)
-        y = xg.reshape(x.shape)
-        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        # Fusion-friendly formulation (measured: the old
+        # reshape-to-(B,-1,g,C/g) + jnp.var path materialized grouped
+        # copies of the full activation and was 61% of LSUN-256 sampling
+        # wall time — tools/attack_256.py ablation + trace, docs/PERF.md):
+        #   1. per-CHANNEL sum/sumsq — big-tensor work is two reductions
+        #      over the SAME read of x, no layout change, fusable;
+        #   2. channels -> groups on the tiny (B, C) tensors;
+        #   3. normalize as a per-channel affine y = x*a + b, the exact
+        #      pattern XLA fuses into neighboring conv epilogues (the
+        #      ablation's affine-only GN ran 2.56x faster end-to-end).
+        red_axes = tuple(range(1, xf.ndim - 1))
+        n_per_group = (c // g) * int(np.prod([xf.shape[a] for a in red_axes]))
+        s1 = jnp.sum(xf, axis=red_axes)        # (B, C)
+        s2 = jnp.sum(xf * xf, axis=red_axes)   # (B, C)
+        bdim = s1.shape[0]
+        s1g = s1.reshape(bdim, g, c // g).sum(-1)   # (B, g)
+        s2g = s2.reshape(bdim, g, c // g).sum(-1)
+        mean = s1g / n_per_group
+        # E[x^2]-E[x]^2 in f32; clamp tiny negative cancellation residue
+        varr = jnp.maximum(s2g / n_per_group - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(varr + self.eps)        # (B, g)
+        invc = jnp.repeat(inv, c // g, axis=-1)     # (B, C)
+        meanc = jnp.repeat(mean, c // g, axis=-1)
+        a = p["scale"].astype(jnp.float32) * invc
+        bb = p["bias"].astype(jnp.float32) - meanc * a
+        bcast = (slice(None),) + (None,) * (xf.ndim - 2) + (slice(None),)
+        y = xf * a[bcast] + bb[bcast]
         if with_silu:
             y = y * jax.nn.sigmoid(y)
         return y.astype(orig_dtype)

@@ -49,7 +49,8 @@ def build(batch=8, steps=100):
     import jax
     import jax.numpy as jnp
 
-    from diff_pruning_tpu.models.unet2d import (UNet2D, ddpm_cifar10_config,
+    from diff_pruning_tpu.models.unet2d import (UNet2D, ddpm_celeba64_config,
+                                                ddpm_cifar10_config,
                                                 ddpm_lsun256_config)
     from diff_pruning_tpu.sampling.ddim_sampler import SamplerConfig, make_sampler
     from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
@@ -57,7 +58,8 @@ def build(batch=8, steps=100):
         enable_persistent_compilation_cache)
 
     enable_persistent_compilation_cache()
-    cfg = ddpm_lsun256_config() if RES == 256 else ddpm_cifar10_config()
+    cfg = {256: ddpm_lsun256_config, 64: ddpm_celeba64_config}.get(
+        RES, ddpm_cifar10_config)()
     model = UNet2D(cfg)
     # init on the host CPU backend: a fresh on-chip init program is an
     # uncached multi-minute remote compile for zero benefit
