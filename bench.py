@@ -132,7 +132,26 @@ def bench_sweep(model, params, schedule):
     return dt, first - dt  # (steady wall-clock, approx compile time)
 
 
+def _watchdog(seconds: int = 1800):
+    """The remote TPU tunnel can die silently (jax.devices() then hangs
+    forever); the driver needs ONE JSON line either way. A daemon timer
+    prints a diagnostic line and hard-exits if the bench wedges."""
+    import threading
+
+    def fire():
+        print(json.dumps({"metric": "ddim100_sampling_imgs_per_sec",
+                          "value": 0.0, "unit": "imgs/s", "vs_baseline": 0.0,
+                          "error": f"bench wedged >{seconds}s — TPU tunnel "
+                                   "unreachable or compile hung"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 def main():
+    _watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -142,7 +161,11 @@ def main():
 
     cfg = ddpm_cifar10_config()
     model = UNet2D(cfg)
-    params = model.init(jax.random.key(0))
+    # init on the host CPU backend (CLAUDE.md: never init on-chip — the
+    # init program is its own cold remote compile); compute stays on TPU
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.key(0))
+    params = jax.device_put(params, jax.devices()[0])
     schedule = DiffusionSchedule.create()
     macs, _ = count_ops_and_params(model, params, (1, 32, 32, 3))
 
