@@ -34,11 +34,15 @@ phase ldm400_prune python -m diff_pruning_tpu.cli.ldm_prune \
   --save_path run/r3_queue/ldm400_pruned --sparsity 0.3 --pruner diff-pruning \
   --thr 0.1 --batch_size 6 --ddim_steps 20 --round_to 2 --max_steps 1000
 
-# 3b) pruned vs base cin256-v2 sampling throughput, identical protocol
-#     (docs/PERF.md baseline row: 0.84 imgs/s at bs8, 250-step CFG)
+# 3b) pruned vs base cin256-v2 sampling throughput, bs6 20-step CFG: the
+#     EXACT programs the prune run itself compiled (sweep sampler = base
+#     bs6/20, vis sampler = pruned bs6/20) — cache-warm, so no fresh
+#     remote compile. Per-UNet-eval time normalizes against the 250-step
+#     0.84 imgs/s baseline row. (A first attempt at bs8/250 sat >75 min in
+#     what looked like a slow compile but was the TPU tunnel dying.)
 phase ldm400_time_pruned python tools/ldm400_pruned_timing.py \
-  run/r3_queue/ldm400_pruned 8 250
-phase ldm400_time_base python tools/ldm400_pruned_timing.py cin256-v2 8 250
+  run/r3_queue/ldm400_pruned 6 20
+phase ldm400_time_base python tools/ldm400_pruned_timing.py cin256-v2 6 20
 
 # 4) final bench refresh
 phase bench python bench.py
