@@ -24,7 +24,7 @@ def parse_args(argv=None):
     p.add_argument("--style", type=str, default="ddim_exp", choices=["diffusers", "ddim_exp"])
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "ddpm", "plms"],
+                   choices=["ddim", "ddpm", "plms", "dpm"],
                    help="trajectory kind (plms: ldm_exp plms.py, eta=0 only)")
     p.add_argument("--no_clip", action="store_true")
     p.add_argument("--use_ema", action="store_true",

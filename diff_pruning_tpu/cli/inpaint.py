@@ -29,7 +29,7 @@ def parse_args(argv=None):
                    help="checkpoint dir (unet/ + first_stage/)")
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--method", type=str, default="ddim",
-                   choices=["ddim", "plms"])
+                   choices=["ddim", "plms", "dpm"])
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)

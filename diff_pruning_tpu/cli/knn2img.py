@@ -34,6 +34,8 @@ def parse_args(argv=None):
     p.add_argument("--knn", type=int, default=10)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--plms", action="store_true")
+    p.add_argument("--dpm", action="store_true",
+                   help="DPM-Solver++(2M) (beyond reference)")
     p.add_argument("--scale", type=float, default=5.0)
     p.add_argument("--n_samples", type=int, default=2)
     p.add_argument("--n_iter", type=int, default=1)
@@ -108,7 +110,7 @@ def main(argv=None):
         params, ddim_steps=args.ddim_steps, guidance_scale=args.scale,
         eta=args.ddim_eta, latent_hw=latent_hw,
         latent_ch=ucfg.out_channels,
-        method="plms" if args.plms else "ddim",
+        method="dpm" if args.dpm else ("plms" if args.plms else "ddim"),
         uncond_input=np.zeros(
             (1, 1 + (args.knn if args.use_neighbors else 0),
              ucfg.context_dim), np.float32))

@@ -21,7 +21,7 @@ def main(argv=None):
     p.add_argument("--ddim_steps", type=int, default=250)
     p.add_argument("--scale", type=float, default=3.0)
     p.add_argument("--eta", type=float, default=0.0)
-    p.add_argument("--method", type=str, default="ddim", choices=["ddim", "plms"])
+    p.add_argument("--method", type=str, default="ddim", choices=["ddim", "plms", "dpm"])
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 

@@ -26,6 +26,8 @@ def parse_args(argv=None):
                    help="path to bert-base-uncased vocab.txt")
     p.add_argument("--ddim_steps", type=int, default=200)
     p.add_argument("--plms", action="store_true")
+    p.add_argument("--dpm", action="store_true",
+                   help="DPM-Solver++(2M) (beyond reference)")
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--n_iter", type=int, default=1)
     p.add_argument("--H", type=int, default=256)
@@ -100,7 +102,7 @@ def main(argv=None):
         # f8 latents like the reference (txt2img.py:141: H//8 x W//8)
         eta=args.ddim_eta, latent_hw=(args.H // 8, args.W // 8),
         latent_ch=ldm.unet.cfg.in_channels,
-        method="plms" if args.plms else "ddim",
+        method="dpm" if args.dpm else ("plms" if args.plms else "ddim"),
         uncond_input=tok([""]))
     if ldm.first_stage is not None:
         decode = jax.jit(lambda p, z: ldm.decode_first_stage(p, z))

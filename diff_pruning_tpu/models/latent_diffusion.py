@@ -181,10 +181,12 @@ class LatentDiffusion:
         sharded over the mesh's data axis (params replicated) — the SPMD
         equivalent of sample_for_FID.py's per-process fan-out.
         ``method='plms'`` selects the PLMS multistep sampler
-        (ldm/models/diffusion/plms.py; requires eta == 0).
+        (ldm/models/diffusion/plms.py; requires eta == 0); ``method='dpm'``
+        the DPM-Solver++(2M) solver (beyond reference,
+        schedulers/dpm_solver.py; also deterministic).
         """
-        if method == "plms" and eta != 0.0:
-            raise ValueError("PLMS requires eta == 0 (plms.py:49)")
+        if method in ("plms", "dpm") and eta != 0.0:
+            raise ValueError(f"{method} requires eta == 0")
         # int -> square; (h, w) supported (the reference samplers take an
         # arbitrary shape, e.g. knn2img's H/W flags)
         lat_h, lat_w = ((latent_hw, latent_hw) if isinstance(latent_hw, int)
@@ -230,9 +232,7 @@ class LatentDiffusion:
             if mesh is not None:
                 x = jax.lax.with_sharding_constraint(x, data_sh)
 
-            if method == "plms":
-                from ..schedulers.plms import plms_sample
-
+            if method in ("plms", "dpm"):
                 def eps_fn(x, t):
                     tb = jnp.full((2 * batch_size,), t, jnp.int32)
                     x2 = jnp.concatenate([x, x], axis=0)
@@ -240,8 +240,15 @@ class LatentDiffusion:
                     e_u, e_c = jnp.split(eps2, 2, axis=0)
                     return e_u + guidance_scale * (e_c - e_u)
 
-                return plms_sample(eps_fn, self.schedule, x, ts_j, prev_j,
-                                   clip_sample=False)
+                if method == "plms":
+                    from ..schedulers.plms import plms_sample
+
+                    return plms_sample(eps_fn, self.schedule, x, ts_j, prev_j,
+                                       clip_sample=False)
+                from ..schedulers.dpm_solver import dpm_solver_sample
+
+                return dpm_solver_sample(eps_fn, self.schedule, x, ts_j,
+                                         prev_j, clip_sample=False)
 
             def step(carry, inp):
                 x, key = carry
@@ -320,6 +327,11 @@ def make_concat_sampler(unet, unet_params, schedule: DiffusionSchedule, *,
 
             return plms_sample(eps_fn, schedule, x, ts_j, prev_j,
                                clip_sample=False)
+        if method == "dpm":
+            from ..schedulers.dpm_solver import dpm_solver_sample
+
+            return dpm_solver_sample(eps_fn, schedule, x, ts_j, prev_j,
+                                     clip_sample=False)
 
         def step(carry, inp):
             x, key = carry

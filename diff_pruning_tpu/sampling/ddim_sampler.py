@@ -30,7 +30,8 @@ class SamplerConfig:
     style: str = "diffusers"  # timestep-sequence family; 'ddim_exp' for paper runs
     eta: float = 0.0
     clip_sample: bool = True  # DDIMScheduler default for DDPM checkpoints
-    kind: str = "ddim"  # 'ddim' | 'ddpm' | 'plms' (ldm_exp plms.py)
+    kind: str = "ddim"  # 'ddim' | 'ddpm' | 'plms' (ldm_exp plms.py) |
+    # 'dpm' (DPM-Solver++ 2M, beyond reference — schedulers/dpm_solver.py)
     diffusers_stride: bool = False  # root-pipeline prev-step quirk (scheduling_ddim.py:312)
     # Model compute dtype. bf16 runs the UNet's convs/matmuls as native-MXU
     # bf16 (the TPU fast path); the DDIM update itself always runs in f32
@@ -81,10 +82,11 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
     outgrow one chip (LSUN-256, the 400M LDM). GSPMD inserts the
     activation collectives.
     """
-    if cfg.kind == "plms" and cfg.eta != 0.0:
+    if cfg.kind in ("plms", "dpm") and cfg.eta != 0.0:
         # match LatentDiffusion.make_cfg_sampler — silently running eta=0
-        # would misreport the sampler the user asked for (plms.py:49)
-        raise ValueError("PLMS requires eta == 0 (plms.py:49)")
+        # would misreport the sampler the user asked for (plms.py:49);
+        # DPM-Solver++ is likewise a deterministic ODE solver
+        raise ValueError(f"{cfg.kind} requires eta == 0")
     ts = ddim_timesteps(cfg.num_inference_steps, schedule.num_train_timesteps,
                         cfg.skip_type, style=cfg.style)
     prev = ddim_prev_timesteps(ts, schedule.num_train_timesteps,
@@ -128,15 +130,21 @@ def make_sampler(model, params, schedule: DiffusionSchedule, cfg: SamplerConfig,
             if labels is not None:
                 labels = jax.lax.with_sharding_constraint(labels, data_sh)
 
-        if cfg.kind == "plms":
+        if cfg.kind in ("plms", "dpm"):
             def eps_fn(x, t):
                 tb = jnp.full((batch_size,), t, jnp.int32)
                 xm = x.astype(compute_dtype)
                 return (model(params, xm, tb, labels) if labels is not None
                         else model(params, xm, tb))
 
-            x = plms_sample(eps_fn, schedule, x, ts_j, prev_j,
-                            clip_sample=cfg.clip_sample)
+            if cfg.kind == "plms":
+                x = plms_sample(eps_fn, schedule, x, ts_j, prev_j,
+                                clip_sample=cfg.clip_sample)
+            else:
+                from ..schedulers.dpm_solver import dpm_solver_sample
+
+                x = dpm_solver_sample(eps_fn, schedule, x, ts_j, prev_j,
+                                      clip_sample=cfg.clip_sample)
             return jnp.clip(x / 2.0 + 0.5, 0.0, 1.0)
 
         def step(carry, inp):
