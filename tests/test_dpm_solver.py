@@ -176,6 +176,53 @@ def test_cfg_dpm_sampler_runs():
         ldm.make_cfg_sampler(params, ddim_steps=3, eta=0.5, method="dpm")
 
 
+def test_dpm20_matches_ddim100_on_exact_mixture_field():
+    """Serving-quality claim on the exact eps-posterior of a 5-mode
+    Gaussian mixture — the closed-form field a perfectly-trained model
+    would learn (tight modes: the sampler's job is picking the right mode
+    and landing on it). Measured (tools/dpm_timing.py rationale): DPM-20
+    matches DDIM-100's mode fidelity and DPM-10 ≈ DDIM-50, i.e. ~5x fewer
+    model evals at equal sample quality."""
+    schedule = DiffusionSchedule.create()
+    D = 8
+    MU = jax.random.normal(jax.random.key(3), (5, D)) * 1.5
+
+    def eps_fn(x, t):
+        # E[eps | x_t] for x0 ~ uniform mixture of N(mu_k, 0.1^2 I):
+        # q_t(x | x0=mu_k) = N(a mu_k, (s^2 + a^2 0.01) I)
+        a = jnp.sqrt(schedule.alpha_bar(t))
+        s2 = 1.0 - schedule.alpha_bar(t)
+        var = s2 + a * a * 0.01
+        logw = -0.5 * jnp.sum((x[:, None, :] - a * MU[None]) ** 2, -1) / var
+        x0hat = jax.nn.softmax(logw, axis=1) @ MU
+        return (x - a * x0hat) / jnp.sqrt(s2)
+
+    x = jax.random.normal(jax.random.key(103), (256, D))
+
+    def sample(kind, steps):
+        ts, prev = _make_traj(steps)
+        if kind == "dpm":
+            return dpm_solver_sample(eps_fn, schedule, x, ts, prev)
+        return _run_ddim(eps_fn, schedule, x, ts, prev)
+
+    def mode(y):
+        return jnp.argmin(jnp.sum((y[:, None, :] - MU[None]) ** 2, -1), 1)
+
+    ref = sample("ddim", 1000)
+    m_ref = mode(ref)
+
+    def wrong(kind, steps):
+        return int(jnp.sum(mode(sample(kind, steps)) != m_ref))
+
+    w_ddim100, w_ddim50, w_ddim25 = (wrong("ddim", s)
+                                     for s in (100, 50, 25))
+    w_dpm20, w_dpm10 = wrong("dpm", 20), wrong("dpm", 10)
+    # measured: ddim 1/2/5 wrong at 100/50/25 steps; dpm 1 at 20, 2 at 10
+    assert w_dpm20 <= w_ddim100 + 1          # DPM-20 ~ DDIM-100
+    assert w_dpm10 <= w_ddim50 + 1           # DPM-10 ~ DDIM-50
+    assert w_ddim25 > w_dpm20                # and DDIM-25 is clearly worse
+
+
 def test_dpm_rejects_bad_order():
     schedule = DiffusionSchedule.create()
     ts, prev = _make_traj(4)

@@ -3,7 +3,7 @@
 # (CLAUDE.md: concurrent measurements on the single chip fabricate deltas).
 # Run AFTER tools/fullrun.py completes. Each phase appends a JSON line to
 # run/r3_queue/<name>.log so results survive session interruptions.
-set -e
+set -eo pipefail
 cd "$(dirname "$0")/.."
 OUT=run/r3_queue
 mkdir -p $OUT
@@ -12,8 +12,13 @@ phase() {  # phase <name> <cmd...>
   local name=$1; shift
   if [ -f $OUT/$name.done ]; then echo "[queue] $name: done, skip"; return; fi
   echo "[queue] $name: $*"
-  "$@" 2>&1 | tee -a $OUT/$name.log
-  touch $OUT/$name.done
+  # only mark done on SUCCESS — a wedged-tunnel failure must not be skipped
+  # on the next watcher pass (the round-3 ldm400_time_* lesson)
+  if "$@" 2>&1 | tee -a $OUT/$name.log; then
+    touch $OUT/$name.done
+  else
+    echo "[queue] $name FAILED rc=$? (left without .done for retry)"
+  fi
 }
 
 # 1) 256^2 wall: roofline proof, profiler attribution, in-model ablation,

@@ -2,17 +2,22 @@
 # Round-3 on-chip queue, part 2: measure the fusion-friendly GroupNorm
 # rewrite (models/layers.py) against the part-1 baselines, all scales.
 # Run AFTER r3_chip_queue.sh completes; same one-experiment-at-a-time rule.
-set -e
+set -eo pipefail
 cd "$(dirname "$0")/.."
 OUT=run/r3_queue
 mkdir -p $OUT
 
-phase() {
+phase() {  # phase <name> <cmd...>
   local name=$1; shift
   if [ -f $OUT/$name.done ]; then echo "[queue] $name: done, skip"; return; fi
   echo "[queue] $name: $*"
-  "$@" 2>&1 | tee -a $OUT/$name.log
-  touch $OUT/$name.done
+  # only mark done on SUCCESS — a wedged-tunnel failure must not be skipped
+  # on the next watcher pass (the round-3 ldm400_time_* lesson)
+  if "$@" 2>&1 | tee -a $OUT/$name.log; then
+    touch $OUT/$name.done
+  else
+    echo "[queue] $name FAILED rc=$? (left without .done for retry)"
+  fi
 }
 
 # new-GN apples-to-apples vs part-1's 1.125 imgs/s LSUN-256 baseline
@@ -23,3 +28,7 @@ phase newgn_32 env ATTACK_RES=32 python tools/attack_256.py baseline 128 100
 phase newgn_64 env ATTACK_RES=64 python tools/attack_256.py baseline 128 100
 # train-step guard: finetune chunk throughput (bench.py prints it in sub)
 phase newgn_bench python bench.py
+
+# DPM-Solver++(2M) serving benchmark: DDIM-100 vs DPM-25/20 throughput +
+# dense-reference ODE accuracy proxy (tools/dpm_timing.py docstring)
+phase dpm_timing python tools/dpm_timing.py 128 3
