@@ -32,6 +32,11 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=6,
                    help="n_samples_per_class (prune_ldm.py:47)")
     p.add_argument("--ddim_steps", type=int, default=20)
+    p.add_argument("--method", type=str, default="ddim",
+                   choices=["ddim", "plms", "dpm"],
+                   help="self-sampled-latents solver; 'dpm' reaches the "
+                        "same trajectory fidelity in ~4x fewer steps "
+                        "(tools/dpm_timing.py)")
     p.add_argument("--scale", type=float, default=3.0, help="CFG guidance scale")
     p.add_argument("--round_to", type=int, default=2)
     p.add_argument("--max_steps", type=int, default=1000)
@@ -108,6 +113,7 @@ def main(argv=None):
     if args.pruner in ("taylor", "diff-pruning", "diff0"):
         sampler = ldm.make_cfg_sampler(
             params, ddim_steps=args.ddim_steps, guidance_scale=args.scale,
+            method=args.method,
             latent_hw=hw, latent_ch=ch)
         grad_fn = jax.jit(jax.value_and_grad(
             lambda up, lat, lab, t, n: ldm.get_loss_at_t(

@@ -7,6 +7,8 @@ import os
 
 import numpy as np
 
+import pytest
+
 import jax
 
 from diff_pruning_tpu.models.latent_diffusion import LatentDiffusion
@@ -14,7 +16,8 @@ from diff_pruning_tpu.models.unet_cond import UNetCondConfig, tiny_cond_config
 from diff_pruning_tpu.utils.checkpoint import save_model, save_params_npz
 
 
-def test_ldm_prune_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("method", ["ddim", "dpm"])
+def test_ldm_prune_cli_end_to_end(tmp_path, method):
     ucfg = tiny_cond_config()
     ldm = LatentDiffusion(ucfg)
     params = ldm.init(jax.random.key(0))
@@ -30,7 +33,7 @@ def test_ldm_prune_cli_end_to_end(tmp_path):
     main(["--model_path", str(mdir), "--save_path", str(out),
           "--sparsity", "0.25", "--pruner", "diff-pruning",
           "--thr", "0.1", "--batch_size", "2", "--ddim_steps", "2",
-          "--max_steps", "4", "--classes", "0", "1"])
+          "--max_steps", "4", "--classes", "0", "1", "--method", method])
 
     with open(out / "unet" / "config.json") as f:
         cfg2 = UNetCondConfig.from_json(f.read())

@@ -16,6 +16,12 @@ perfectly-trained model would learn — in tests/test_dpm_solver.py::
 test_dpm20_matches_ddim100_on_exact_mixture_field (DPM-20 == DDIM-100
 mode fidelity, DPM-10 ~ DDIM-50).
 
+Spacing negative result (same field, 4 seeds x {10,15,20} steps, total
+wrong-mode counts): uniform-t 13 < log-SNR-uniform 41 < quad 60 — the
+literature's lambda-uniform grid does NOT beat uniform-t on this β
+schedule, so 'dpm' keeps the standard ddim_timesteps families and no
+logsnr skip_type was added.
+
 Usage: python tools/dpm_timing.py [batch] [reps]
 """
 
