@@ -132,26 +132,41 @@ def bench_sweep(model, params, schedule):
     return dt, first - dt  # (steady wall-clock, approx compile time)
 
 
-def _watchdog(seconds: int = 1800):
+class _Watchdog:
     """The remote TPU tunnel can die silently (jax.devices() then hangs
-    forever); the driver needs ONE JSON line either way. A daemon timer
-    prints a diagnostic line and hard-exits if the bench wedges."""
-    import threading
+    forever); the driver needs ONE JSON line either way. A deadman timer:
+    fires only if no progress (``pet()``) happens for ``seconds``, so a
+    cold-cache run whose phases each compile for many minutes is never
+    killed as long as phases keep completing (per-PHASE budget, not total —
+    remote compiles serialize behind other clients and can take 20+ min
+    across a whole run)."""
 
-    def fire():
-        print(json.dumps({"metric": "ddim100_sampling_imgs_per_sec",
-                          "value": 0.0, "unit": "imgs/s", "vs_baseline": 0.0,
-                          "error": f"bench wedged >{seconds}s — TPU tunnel "
-                                   "unreachable or compile hung"}), flush=True)
-        os._exit(3)
+    def __init__(self, seconds: int = 1800):
+        import threading
 
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
+        self.seconds = seconds
+        self._last = time.monotonic()
+        t = threading.Thread(target=self._loop, daemon=True)
+        t.start()
+
+    def pet(self):
+        self._last = time.monotonic()
+
+    def _loop(self):
+        while True:
+            time.sleep(30)
+            if time.monotonic() - self._last > self.seconds:
+                print(json.dumps(
+                    {"metric": "ddim100_sampling_imgs_per_sec",
+                     "value": 0.0, "unit": "imgs/s", "vs_baseline": 0.0,
+                     "error": f"bench wedged: no phase progress for "
+                              f">{self.seconds}s — TPU tunnel unreachable "
+                              "or compile hung"}), flush=True)
+                os._exit(3)
 
 
 def main():
-    _watchdog()
+    wd = _Watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -169,13 +184,18 @@ def main():
     schedule = DiffusionSchedule.create()
     macs, _ = count_ops_and_params(model, params, (1, 32, 32, 3))
 
+    wd.pet()
     imgs_per_sec = bench_sampling(model, params, schedule)
     flops_per_img = 2.0 * macs * 100  # conv/linear MACs x 100 DDIM evals
     mfu = imgs_per_sec * flops_per_img / V5E_PEAK_BF16_FLOPS
+    wd.pet()
 
     pruned_imgs_per_sec = bench_pruned_sampling(model, params, schedule)
+    wd.pet()
     ft_imgs_per_sec = bench_finetune(model, params, schedule)
+    wd.pet()
     sweep_s, sweep_compile_s = bench_sweep(model, params, schedule)
+    wd.pet()
 
     print(json.dumps({
         "metric": "ddpm_cifar10_ddim100_sampling_imgs_per_sec_per_chip",

@@ -142,13 +142,19 @@ def main(argv=None):
         from ..utils.checkpoint import load_train_state, restore_opt_state
 
         d = args.resume_from_checkpoint
+        # gen is saved LAST (service_save), so its LATEST is the pair's
+        # commit point; the disc is loaded at that same step explicitly —
+        # a kill between the two saves must not resume a G/D pair from
+        # different steps (the mismatch would spike the G/D balance)
         gmeta, gen_p, _ = load_train_state(os.path.join(d, "gen"))
-        _, disc_p, _ = load_train_state(os.path.join(d, "disc"))
         start_step = int(gmeta["step"])
+        _, disc_p, _ = load_train_state(os.path.join(d, "disc"),
+                                        step=start_step)
         gen_opt, g_ok = restore_opt_state(os.path.join(d, "gen"),
                                           gen_tx.init(gen_p))
         disc_opt, d_ok = restore_opt_state(os.path.join(d, "disc"),
-                                           disc_tx.init(disc_p))
+                                           disc_tx.init(disc_p),
+                                           step=start_step)
         state = AETrainState(gen_p, disc_p, gen_opt, disc_opt,
                              jnp.asarray(start_step, jnp.int32))
         print(f"resumed from step {start_step} (optimizers "
@@ -177,12 +183,15 @@ def main(argv=None):
         save_params_npz(os.path.join(d, "params.npz"), gen_params)
         ck = os.path.join(args.output_dir, "ckpt")
         # both optimizers' Adam moments persist (keypath-matched restore
-        # — re-initializing them would spike the G/D balance on resume)
-        save_train_state(os.path.join(ck, "gen"), step=at_step,
-                         params=gen_params, opt_state=gen_opt,
-                         extra_meta={"seed": args.seed})
+        # — re-initializing them would spike the G/D balance on resume).
+        # disc commits FIRST: resume reads gen's LATEST step and loads the
+        # disc at that exact version, so a kill between the two saves can
+        # never splice G/D states from different steps.
         save_train_state(os.path.join(ck, "disc"), step=at_step,
                          params=disc_params, opt_state=disc_opt,
+                         extra_meta={"seed": args.seed})
+        save_train_state(os.path.join(ck, "gen"), step=at_step,
+                         params=gen_params, opt_state=gen_opt,
                          extra_meta={"seed": args.seed})
         print(f"saved at step {at_step}", flush=True)
 

@@ -46,13 +46,18 @@ def main(argv=None):
     # reference's per-process fan-out)
     mesh = make_mesh() if len(jax.devices()) > 1 else None
 
-    params = load_fid_inception_params(args.inception_weights)
-    if params is None and args.random_init_seed is not None:
+    # an explicit --random-init-seed WINS over locally-found weights: the
+    # random-init protocol is a relative-distance scale, and silently
+    # switching to real-inception FID would make the number incomparable
+    # with scores computed on weight-less machines at the same seed
+    if args.random_init_seed is not None:
         from ..eval.inception import random_init_fid_inception_params
 
         print(f"NOTE: random-init inception (seed={args.random_init_seed}) — "
               "relative distance only, not comparable to published FID")
         params = random_init_fid_inception_params(args.random_init_seed)
+    else:
+        params = load_fid_inception_params(args.inception_weights)
     if params is None:
         raise SystemExit(
             "FID inception weights not found locally. Provide --inception-weights "

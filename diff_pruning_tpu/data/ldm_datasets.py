@@ -98,7 +98,7 @@ class ImageNetDataset:
         self.datadir = os.path.join(root, "data")
         self.size = size
         self.random_crop = random_crop
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
         if not os.path.isdir(self.datadir):
             raise FileNotFoundError(
                 f"{self.datadir} not found: place the extracted ImageNet "
@@ -163,8 +163,12 @@ class ImageNetDataset:
             nh, nw = max(self.size, round(h * scale)), max(self.size, round(w * scale))
             im = Image.fromarray(img).resize((nw, nh), resample=Image.BICUBIC)
             arr = np.asarray(im, np.uint8)
-            top = int(self._rng.integers(0, nh - self.size + 1))
-            left = int(self._rng.integers(0, nw - self.size + 1))
+            # per-item rng: shared Generators are not thread-safe under the
+            # FID/feature threaded decode pool, and per-index streams make
+            # the crop deterministic regardless of load order (sr.py:76)
+            rng = np.random.default_rng((self.seed, i))
+            top = int(rng.integers(0, nh - self.size + 1))
+            left = int(rng.integers(0, nw - self.size + 1))
             return arr[top:top + self.size, left:left + self.size]
         return _smallest_side_resize_center_crop(img, self.size)
 
@@ -223,7 +227,7 @@ class TxtListDataset:
             raise ValueError(f"unknown interpolation {interpolation!r}")
         self.interpolation = interpolation
         self.flip_p = flip_p
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __len__(self) -> int:
         return len(self.image_paths)
@@ -243,7 +247,8 @@ class TxtListDataset:
             img = np.asarray(Image.fromarray(img).resize(
                 (self.size, self.size), resample=resample), np.uint8)
         if flip is None:
-            flip = self._rng.random() < self.flip_p
+            # per-item rng (thread-safe under decode pools, order-independent)
+            flip = np.random.default_rng((self.seed, i)).random() < self.flip_p
         if flip:
             img = img[:, ::-1]
         return np.ascontiguousarray(img)

@@ -55,8 +55,15 @@ class LMDBReader:
 
     # -- low level ---------------------------------------------------------
     def _read(self, off: int, n: int) -> bytes:
-        self._f.seek(off)
-        return self._f.read(n)
+        # pread: positioned read with no shared file offset, so one reader
+        # is safe under the threaded decode pools (eval/fid.py batches()).
+        buf = os.pread(self._f.fileno(), n, off)
+        while 0 < len(buf) < n:  # pread may return short on some filesystems
+            more = os.pread(self._f.fileno(), n - len(buf), off + len(buf))
+            if not more:
+                break
+            buf += more
+        return buf
 
     def _parse_meta(self, off_bytes: int):
         need = PAGEHDRSZ + _META.size + 2 * _DB.size + 16

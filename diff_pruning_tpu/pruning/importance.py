@@ -156,14 +156,18 @@ def normalize_scores(imp: np.ndarray, normalizer) -> np.ndarray:
     if callable(normalizer):
         return np.asarray(normalizer(imp))
     imp = imp.astype(np.float64)
+    # denominators guarded like the pruner's global-mode default
+    # (max(mean, 1e-30)): an all-zero score vector (e.g. taylor on a dead
+    # zero-init out-conv path) must normalize to zeros, not 0/0 NaNs that
+    # poison the global np.partition pool.
     if normalizer == "sum":
-        return imp / imp.sum()
+        return imp / max(imp.sum(), 1e-30)
     if normalizer in ("standarization", "standardization"):
         return (imp - imp.min()) / (imp.max() - imp.min() + 1e-8)
     if normalizer == "mean":
-        return imp / imp.mean()
+        return imp / max(imp.mean(), 1e-30)
     if normalizer == "max":
-        return imp / imp.max()
+        return imp / max(imp.max(), 1e-30)
     if normalizer == "gaussian":
         return (imp - imp.mean()) / (imp.std() + 1e-8)
     raise ValueError(f"unknown normalizer {normalizer!r}")

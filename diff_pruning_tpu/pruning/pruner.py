@@ -94,7 +94,12 @@ def prune(
     global mode bandwidth-aware: candidates are ranked by importance per
     unit hardware cost, so the pool preferentially drops channels that cost
     machine time rather than just MACs — beyond the reference, which has no
-    hardware model at all."""
+    hardware model at all. NOTE: ``sparsity`` budgets pooled CHANNEL-GROUPS
+    (reference semantics); a GN-constrained var (group_div=32) contributes
+    one pooled entry per 32 channels, so when cost-division concentrates
+    drops into wide convs the realized channel/param sparsity exceeds the
+    nominal target — compare cost-aware runs at equal params, not equal
+    nominal sparsity (tools/cost_aware_bench.py's protocol)."""
     ignored = set(ignored_vars)
     vars_ = [v for v in graph.prunable_vars() if v.name not in ignored]
     eff_rt = {v.name: max(v.round_to, round_to or 1) for v in vars_}
@@ -125,8 +130,16 @@ def prune(
                              for v in vars_], dtype=np.float64)
             cw = np.where(cw <= 0.0, cw[cw > 0].mean() if (cw > 0).any() else 1.0, cw)
             cw = cw / cw.mean()
+            # cost division only ranks correctly on a non-negative scale:
+            # mean-centering normalizers (gaussian/standardization) emit
+            # negative scores, and dividing a negative by a large cost moves
+            # it TOWARD zero — high cost would then protect unimportant
+            # channels. One global shift preserves every ranking and is a
+            # no-op for the non-negative normalizers.
+            gmin = min(float(s.min()) for s in norm_scores.values())
+            shift = -gmin if gmin < 0.0 else 0.0
             norm_scores = {
-                v.name: norm_scores[v.name] / cw[i]
+                v.name: (norm_scores[v.name] + shift) / cw[i]
                 for i, v in enumerate(vars_)}
         pooled = []
         for v in vars_:

@@ -113,9 +113,20 @@ def save_train_state(path: str, *, step: int, params: dict, ema_params=None,
         shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
 
-def _resolve_ckpt_dir(path: str) -> str:
+def _resolve_ckpt_dir(path: str, step=None) -> str:
     """Follow the LATEST pointer of a versioned checkpoint dir; a legacy
-    flat layout (meta.json directly inside) resolves to itself."""
+    flat layout (meta.json directly inside) resolves to itself. With
+    ``step``, resolve that exact version instead of LATEST — used to load
+    multi-directory checkpoint pairs (AE gen/disc) at one common step."""
+    if step is not None:
+        d = os.path.join(path, f"step-{int(step)}")
+        if os.path.isdir(d):
+            return d
+        if os.path.exists(os.path.join(path, "LATEST")):
+            avail = sorted(e for e in os.listdir(path) if e.startswith("step-"))
+            raise FileNotFoundError(
+                f"{path}: no step-{int(step)} version (available: {avail})")
+        return path  # legacy flat layout: single unversioned state
     latest = os.path.join(path, "LATEST")
     if os.path.exists(latest):
         with open(latest) as f:
@@ -123,12 +134,12 @@ def _resolve_ckpt_dir(path: str) -> str:
     return path
 
 
-def restore_opt_state(path: str, opt_state_template):
+def restore_opt_state(path: str, opt_state_template, step=None):
     """Fill a freshly-initialized optimizer state with saved leaves, matched
     by keypath. Raises on any missing path (a silent partial restore would
     corrupt Adam moments). Returns the template unchanged if no opt_state.npz
     exists. Legacy flat-index archives ('0','1',...) restore positionally."""
-    opt_path = os.path.join(_resolve_ckpt_dir(path), "opt_state.npz")
+    opt_path = os.path.join(_resolve_ckpt_dir(path, step), "opt_state.npz")
     if not os.path.exists(opt_path):
         return opt_state_template, False
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(
@@ -149,10 +160,10 @@ def restore_opt_state(path: str, opt_state_template):
     return jax.tree_util.tree_unflatten(treedef, leaves), True
 
 
-def load_train_state(path: str):
+def load_train_state(path: str, step=None):
     """Returns (meta dict, params, ema_params|None). Optimizer state is
     restored separately via restore_opt_state (it needs a template)."""
-    path = _resolve_ckpt_dir(path)
+    path = _resolve_ckpt_dir(path, step)
     params = load_params_npz(os.path.join(path, "params.npz"))
     ema = None
     ema_path = os.path.join(path, "ema_params.npz")

@@ -193,3 +193,21 @@ def test_write_lmdb_multi_level_branches(tmp_path):
             assert r.get(k) == ref[k]
         assert got == ref
         assert r.get(b"missing-key") is None
+
+
+def test_lmdb_reader_threaded_reads(lsun_fixture):
+    """LMDBReader must be safe under the FID threaded decode pool
+    (eval/fid.py batches(): 16 workers share ONE reader). pread-based
+    reads have no shared file offset; 16 concurrent full scans must
+    agree byte-for-byte with a serial scan."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root, arrays = lsun_fixture
+    db = LMDBReader(root)
+    keys = [k for k, _ in db.items()]
+    serial = {k: db.get(k) for k in keys}
+    work = [k for _ in range(16) for k in keys]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(db.get, work))
+    for k, v in zip(work, results):
+        assert v == serial[k]

@@ -391,3 +391,39 @@ def test_batchnorm_prunes_running_stats():
     x = jnp.ones((1, 4, 4, 3))
     y = act(out["act"], bn(out["bn"], conv(out["conv"], x)))
     assert y.shape == (1, 4, 4, 3)
+
+
+def test_normalize_scores_all_zero_no_nan():
+    """An all-zero score vector (taylor on a dead zero-init out-conv path)
+    must normalize to finite zeros, never 0/0 NaNs that would poison the
+    global pooling threshold."""
+    from diff_pruning_tpu.pruning.importance import normalize_scores
+
+    z = np.zeros(8, np.float64)
+    for norm in ("sum", "mean", "max", "standarization", "gaussian"):
+        out = normalize_scores(z, norm)
+        assert np.isfinite(out).all(), norm
+
+
+def test_cost_weights_with_mean_centered_normalizer():
+    """cost_weights must PENALIZE high-cost vars even when the importance
+    normalizer emits negative scores (gaussian mean-centers each var):
+    dividing a negative score by a big cost would otherwise rank it HIGHER.
+    The pruner shifts to a non-negative scale first."""
+    from diff_pruning_tpu.pruning.cost import var_cost_weights
+
+    cfg = tiny_unet_config(attn=False)
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    imp = make_importance("magnitude", normalizer="gaussian")
+    base = prune(model.graph, params, imp, sparsity=0.3, global_pruning=True)
+    cw = var_cost_weights(model, params, (1, 16, 16, 3), mode="bytes")
+    res = prune(model.graph, params, imp, sparsity=0.3, global_pruning=True,
+                cost_weights=cw)
+    p2 = apply_pruning(params, model.graph, res)
+    m2 = UNet2D(cfg.with_channel_sizes(res.channel_sizes))
+    m2.graph.validate(p2)
+    # same invariant as the non-centered case: the most expensive var keeps
+    # no more channels than under cost-blind allocation
+    vmax = max(cw, key=cw.get)
+    assert res.channel_sizes[vmax] <= base.channel_sizes[vmax]

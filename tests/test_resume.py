@@ -204,3 +204,31 @@ def test_runlog_helpers(tmp_path):
     import shlex
 
     assert shlex.split(line)[-1] == "/data/my runs/ft"
+
+
+def test_checkpoint_step_targeted_load(tmp_path):
+    """Multi-directory checkpoint pairs (AE gen/disc) load at ONE common
+    step: load_train_state(step=N) resolves the exact version even when a
+    newer LATEST exists, and a missing version raises instead of silently
+    splicing mismatched states."""
+    d = str(tmp_path / "ck")
+    p10 = {"w": np.full((2,), 10.0, np.float32)}
+    p20 = {"w": np.full((2,), 20.0, np.float32)}
+    save_train_state(d, step=10, params=p10)
+    save_train_state(d, step=20, params=p20)
+    meta, params, _ = load_train_state(d)
+    assert meta["step"] == 20 and float(params["w"][0]) == 20.0
+    meta, params, _ = load_train_state(d, step=10)
+    assert meta["step"] == 10 and float(params["w"][0]) == 10.0
+    with pytest.raises(FileNotFoundError):
+        load_train_state(d, step=15)
+    # legacy flat layout: step hint falls back to the single state
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    from diff_pruning_tpu.utils.checkpoint import save_params_npz
+
+    save_params_npz(os.path.join(flat, "params.npz"), p10)
+    with open(os.path.join(flat, "meta.json"), "w") as f:
+        json.dump({"step": 10}, f)
+    meta, params, _ = load_train_state(flat, step=10)
+    assert meta["step"] == 10

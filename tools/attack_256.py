@@ -95,13 +95,7 @@ def timeit(sampler, batch=8, reps=2):
 def phase_roofline(batch=8, steps=100):
     import jax
 
-    model, bf16, sched, _ = build(batch, steps)
-    from diff_pruning_tpu.sampling.ddim_sampler import SamplerConfig, make_sampler
-
-    sampler = make_sampler(model, bf16, sched,
-                           SamplerConfig(num_inference_steps=steps,
-                                         skip_type="quad", style="ddim_exp",
-                                         dtype="bfloat16"))
+    model, bf16, sched, sampler = build(batch, steps)
     ips, dt, _ = timeit(sampler, batch)
     # cost analysis: the sampler hides its jitted fn, so rebuild the same
     # trajectory body here and lower/compile it for the HLO cost model

@@ -8,18 +8,7 @@ cd "$(dirname "$0")/.."
 OUT=run/r3_queue
 mkdir -p $OUT
 
-phase() {  # phase <name> <cmd...>
-  local name=$1; shift
-  if [ -f $OUT/$name.done ]; then echo "[queue] $name: done, skip"; return; fi
-  echo "[queue] $name: $*"
-  # only mark done on SUCCESS — a wedged-tunnel failure must not be skipped
-  # on the next watcher pass (the round-3 ldm400_time_* lesson)
-  if "$@" 2>&1 | tee -a $OUT/$name.log; then
-    touch $OUT/$name.done
-  else
-    echo "[queue] $name FAILED rc=$? (left without .done for retry)"
-  fi
-}
+. "$(cd "$(dirname "$0")" && pwd)/queue_lib.sh"
 
 # 1) 256^2 wall: roofline proof, profiler attribution, in-model ablation,
 #    mitigations (docs/PERF.md model-scale table, VERDICT r2 item 4)

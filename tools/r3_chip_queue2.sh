@@ -7,18 +7,7 @@ cd "$(dirname "$0")/.."
 OUT=run/r3_queue
 mkdir -p $OUT
 
-phase() {  # phase <name> <cmd...>
-  local name=$1; shift
-  if [ -f $OUT/$name.done ]; then echo "[queue] $name: done, skip"; return; fi
-  echo "[queue] $name: $*"
-  # only mark done on SUCCESS — a wedged-tunnel failure must not be skipped
-  # on the next watcher pass (the round-3 ldm400_time_* lesson)
-  if "$@" 2>&1 | tee -a $OUT/$name.log; then
-    touch $OUT/$name.done
-  else
-    echo "[queue] $name FAILED rc=$? (left without .done for retry)"
-  fi
-}
+. "$(cd "$(dirname "$0")" && pwd)/queue_lib.sh"
 
 # new-GN apples-to-apples vs part-1's 1.125 imgs/s LSUN-256 baseline
 phase newgn_256 python tools/attack_256.py baseline 8 100
