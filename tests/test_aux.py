@@ -136,7 +136,8 @@ def test_ddim_original_converter_roundtrip():
             n = n.replace(".to_v.", ".v.").replace(".to_out.0.", ".proj_out.")
             if n.endswith(".weight") and v.ndim == 2:
                 v = v[:, :, None, None]  # linear -> 1x1 conv layout
-        ddim_sd[n] = torch.from_numpy(np.ascontiguousarray(v))
+        # .copy(): torch warns on (and may alias) non-writable numpy views
+        ddim_sd[n] = torch.from_numpy(np.ascontiguousarray(v).copy())
 
     params2 = ddim_original_state_dict_to_params(ddim_sd, num_levels=L)
     m.graph.validate(params2)
