@@ -36,14 +36,19 @@ def parse_args(argv=None):
                         "(diffusion.py:429); interpolation: slerp grid (:452)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    from ..utils.tpu_flags import add_scoped_vmem_arg
+
+    add_scoped_vmem_arg(p)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     from ..utils.compile_cache import enable_persistent_compilation_cache
+    from ..utils.tpu_flags import set_scoped_vmem_limit
 
     enable_persistent_compilation_cache()
     args = parse_args(argv)
+    set_scoped_vmem_limit(args.scoped_vmem_kib)  # before first device access
     import jax
 
     from ..models.unet2d import UNet2D

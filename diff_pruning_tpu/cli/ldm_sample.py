@@ -23,7 +23,11 @@ def main(argv=None):
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--method", type=str, default="ddim", choices=["ddim", "plms", "dpm"])
     p.add_argument("--seed", type=int, default=0)
+    from ..utils.tpu_flags import add_scoped_vmem_arg, set_scoped_vmem_limit
+
+    add_scoped_vmem_arg(p)
     args = p.parse_args(argv)
+    set_scoped_vmem_limit(args.scoped_vmem_kib)  # before first device access
 
     import jax
     import jax.numpy as jnp

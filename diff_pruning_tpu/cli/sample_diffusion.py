@@ -31,14 +31,19 @@ def parse_args(argv=None):
     p.add_argument("--scale_factor", type=float, default=1.0,
                    help="latent scaling (1.0 for the unconditional zoo)")
     p.add_argument("--seed", type=int, default=0)
+    from ..utils.tpu_flags import add_scoped_vmem_arg
+
+    add_scoped_vmem_arg(p)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     from ..utils.compile_cache import enable_persistent_compilation_cache
+    from ..utils.tpu_flags import set_scoped_vmem_limit
 
     enable_persistent_compilation_cache()
     args = parse_args(argv)
+    set_scoped_vmem_limit(args.scoped_vmem_kib)  # before first device access
     import jax
     import jax.numpy as jnp
     import numpy as np

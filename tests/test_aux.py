@@ -231,3 +231,34 @@ def test_spatial_rescaler():
     x = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
     yn = rn({}, x)
     np.testing.assert_allclose(np.asarray(yn), np.asarray(x[:, ::2, ::2]))
+
+
+def test_scoped_vmem_flag_staging(monkeypatch):
+    """utils/tpu_flags: the scoped-VMEM knob must stage into
+    LIBTPU_INIT_ARGS (replacing an existing setting, preserving others),
+    no-op on None, and fail loudly once the backend is up (the flag is
+    only read at backend startup)."""
+    from diff_pruning_tpu.utils import tpu_flags
+
+    real_initialized = tpu_flags._backend_initialized
+    monkeypatch.setattr(tpu_flags, "_backend_initialized", lambda: False)
+    monkeypatch.setenv("LIBTPU_INIT_ARGS",
+                       "--xla_other=1 --xla_tpu_scoped_vmem_limit_kib=1024")
+    tpu_flags.set_scoped_vmem_limit(None)
+    assert os.environ["LIBTPU_INIT_ARGS"] == (
+        "--xla_other=1 --xla_tpu_scoped_vmem_limit_kib=1024")
+    tpu_flags.set_scoped_vmem_limit(65536)
+    assert os.environ["LIBTPU_INIT_ARGS"] == (
+        "--xla_other=1 --xla_tpu_scoped_vmem_limit_kib=65536")
+    # this test process HAS an initialized (CPU) backend: the real guard
+    monkeypatch.setattr(tpu_flags, "_backend_initialized", real_initialized)
+    jax.devices()
+    with pytest.raises(RuntimeError):
+        tpu_flags.set_scoped_vmem_limit(65536)
+    # the CLI arg attaches and defaults to None
+    import argparse
+
+    p = argparse.ArgumentParser()
+    tpu_flags.add_scoped_vmem_arg(p)
+    assert p.parse_args([]).scoped_vmem_kib is None
+    assert p.parse_args(["--scoped_vmem_kib", "65536"]).scoped_vmem_kib == 65536
