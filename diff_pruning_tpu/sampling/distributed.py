@@ -40,6 +40,9 @@ def sample_many(
     shards the trajectory over the data axis; here labels are placed
     data-sharded and divisibility is checked.
     num_batches = ceil(total/batch) like ddpm_sample.py:67.
+    On multi-process (multi-host) runs, each process saves/returns only its
+    own shard rows: PNGs go to process_{i}/ with local numbering, and the
+    outdir=None return value is this process's rows only.
     """
     num_batches = (total_images + batch_size - 1) // batch_size
     sh = data_sharding(mesh) if mesh is not None else None
@@ -47,20 +50,43 @@ def sample_many(
         n_shards = mesh.shape["data"]
         assert batch_size % n_shards == 0, (
             f"batch_size {batch_size} must divide by the data axis ({n_shards})")
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        # each host flushes whole local shards; a ragged final batch would
+        # need global-position bookkeeping the reference also avoids
+        # (num_batches rounds to whole batches, ddpm_sample.py:67)
+        assert total_images % batch_size == 0, (
+            "multi-process sampling requires total_images % batch_size == 0")
     results = [] if outdir is None else None
     sub = outdir
-    if outdir is not None and jax.process_count() > 1:
+    if outdir is not None and multiproc:
         sub = os.path.join(outdir, f"process_{jax.process_index()}")
+    local_count = [0]
 
     def flush(imgs_dev, start):
         """Materialize a finished batch on the host and save/collect it."""
-        imgs = np.asarray(imgs_dev)[: min(batch_size, total_images - start)]
+        if multiproc and not imgs_dev.is_fully_addressable:
+            # Fetching a globally-sharded array raises across hosts; each
+            # host materializes ONLY its addressable shards (ordered by
+            # global batch offset) and numbers them locally inside its
+            # process_{i} subdir — the reference's per-process layout
+            # (ddpm_sample.py:55-74). tests/test_multiprocess.py proves the
+            # union across hosts is bit-exact vs a single-process run.
+            shards = sorted(imgs_dev.addressable_shards,
+                            key=lambda s: s.index[0].start or 0)
+            imgs = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+            start = local_count[0]
+        else:
+            imgs = np.asarray(imgs_dev)[: min(batch_size, total_images - start)]
+        local_count[0] += len(imgs)
         if outdir is not None:
             save_images(imgs, sub, start_index=start)
         else:
             results.append(imgs)
         if progress:
-            print(f"  sampled {start + len(imgs)}/{total_images}")
+            print(f"  sampled {local_count[0]}"
+                  f"/{total_images // (jax.process_count() if multiproc else 1)}"
+                  + (" (local)" if multiproc else ""))
 
     # Pipelined: dispatch batch b+1 before materializing batch b, so PNG
     # encoding/host transfer overlaps the device's next trajectory (the

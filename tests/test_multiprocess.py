@@ -1,0 +1,98 @@
+"""Real multi-process execution of the sharded sampler — the multi-host
+story actually exercised, not just claimed.
+
+The reference fans sampling out with torchrun + per-process seeds/subdirs
+(scripts/sample_ddpm_cifar10_pretrained_distributed.sh:1,
+ddpm_sample.py:55-77). Here the SPMD equivalent is proven end-to-end on a
+2-OS-process CPU 'slice' (2 processes x 2 virtual devices, joined by
+jax.distributed): each process runs the SAME single sharded program, saves
+only its addressable shard rows into process_{i}/ (sample_many's multihost
+flush path), and the union across processes is bit-exact against a
+single-process run on an identically-shaped 4-device mesh.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_sampling_union_bitexact(tmp_path):
+    port = _free_port()
+    outdir = str(tmp_path / "out")
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker forces cpu via jax.config
+    env.pop("XLA_FLAGS", None)  # worker sets its own 2-device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(TESTS_DIR, "_mp_worker.py"),
+             str(i), str(port), outdir],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    # ground truth: the same program on an in-process 4-device mesh (first
+    # half of the virtual 8-device suite mesh) — identical global mesh
+    # shape, so the SPMD result must be identical
+    import jax
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, tiny_unet_config
+    from diff_pruning_tpu.parallel.mesh import make_mesh
+    from diff_pruning_tpu.sampling.ddim_sampler import (SamplerConfig,
+                                                        make_sampler, to_uint8)
+    from diff_pruning_tpu.sampling.distributed import sample_many
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+
+    cfg = tiny_unet_config(attn=False)
+    model = UNet2D(cfg)
+    params = model.init(jax.random.key(0))
+    sched = DiffusionSchedule.create()
+    mesh = make_mesh((("data", 4),), devices=jax.devices()[:4])
+    sampler = make_sampler(model, params, sched,
+                           SamplerConfig(num_inference_steps=3), mesh=mesh)
+    ref = sample_many(sampler, key=jax.random.key(7), total_images=16,
+                      batch_size=8, hw=16, channels=3, mesh=mesh)
+    ref_u8 = to_uint8(ref)
+
+    from PIL import Image
+
+    # process p holds the contiguous rows [b*8 + p*4, b*8 + (p+1)*4) of
+    # batch b (process-major device order), numbered locally in its subdir
+    for p in (0, 1):
+        d = os.path.join(outdir, f"process_{p}")
+        assert os.path.isdir(d), f"missing {d}; worker out:\n{outs[p]}"
+        files = sorted(os.listdir(d))
+        assert len(files) == 8, files
+        for li, f in enumerate(files):
+            b, r = divmod(li, 4)
+            g = b * 8 + p * 4 + r
+            img = np.asarray(Image.open(os.path.join(d, f)))
+            np.testing.assert_array_equal(
+                img, ref_u8[g],
+                err_msg=f"process {p} file {f} != global row {g}")
