@@ -47,6 +47,28 @@ def main():
                            SamplerConfig(num_inference_steps=3), mesh=mesh)
     sample_many(sampler, key=jax.random.key(7), total_images=16, batch_size=8,
                 hw=16, channels=3, mesh=mesh, outdir=outdir)
+
+    # one DP train step across both processes: the grad psum rides the
+    # cross-process collective backend (≡ the reference's DDP all-reduce)
+    import json
+
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.parallel.mesh import replicate, shard_batch
+    from diff_pruning_tpu.training.finetune import (TrainConfig,
+                                                    init_train_state,
+                                                    make_train_step)
+
+    tcfg = TrainConfig(learning_rate=1e-3, use_ema=True)
+    state = replicate(mesh, init_train_state(params, tcfg))
+    step_fn = make_train_step(model, sched, tcfg, mesh=mesh)
+    batch = jax.random.normal(jax.random.key(3), (16, 16, 16, 3))
+    state2, metrics = step_fn(state, shard_batch(mesh, batch),
+                              jax.random.key(4))
+    fingerprint = sum(float(jnp.sum(jnp.abs(x)))
+                      for x in jax.tree.leaves(state2.params))
+    print(json.dumps({"worker": pid, "loss": float(metrics["loss"]),
+                      "params_l1": fingerprint}), flush=True)
     print(f"worker {pid} ok", flush=True)
 
 

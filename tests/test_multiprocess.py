@@ -57,6 +57,20 @@ def test_two_process_sampling_union_bitexact(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
 
+    import json
+
+    def worker_stats(out):
+        for line in out.splitlines():
+            if line.startswith("{"):
+                return json.loads(line)
+        raise AssertionError(f"no stats line in worker output:\n{out}")
+
+    stats = [worker_stats(o) for o in outs]
+    # the train metrics/state are fully replicated: both processes must
+    # report the identical post-psum result
+    assert stats[0]["loss"] == stats[1]["loss"], stats
+    assert stats[0]["params_l1"] == stats[1]["params_l1"], stats
+
     # ground truth: the same program on an in-process 4-device mesh (first
     # half of the virtual 8-device suite mesh) — identical global mesh
     # shape, so the SPMD result must be identical
@@ -79,6 +93,21 @@ def test_two_process_sampling_union_bitexact(tmp_path):
     ref = sample_many(sampler, key=jax.random.key(7), total_images=16,
                       batch_size=8, hw=16, channels=3, mesh=mesh)
     ref_u8 = to_uint8(ref)
+
+    # train-step parity: the 2-process grad psum (over the cross-process
+    # collective backend) must match the same step on the in-process mesh
+    from diff_pruning_tpu.parallel.mesh import replicate, shard_batch
+    from diff_pruning_tpu.training.finetune import (TrainConfig,
+                                                    init_train_state,
+                                                    make_train_step)
+
+    tcfg = TrainConfig(learning_rate=1e-3, use_ema=True)
+    state = replicate(mesh, init_train_state(params, tcfg))
+    step_fn = make_train_step(model, sched, tcfg, mesh=mesh)
+    batch = jax.random.normal(jax.random.key(3), (16, 16, 16, 3))
+    _, metrics = step_fn(state, shard_batch(mesh, batch), jax.random.key(4))
+    np.testing.assert_allclose(stats[0]["loss"], float(metrics["loss"]),
+                               rtol=1e-4)
 
     from PIL import Image
 
