@@ -21,3 +21,7 @@ phase newgn_bench python bench.py
 # DPM-Solver++(2M) serving benchmark: DDIM-100 vs DPM-25/20 throughput +
 # dense-reference ODE accuracy proxy (tools/dpm_timing.py docstring)
 phase dpm_timing python tools/dpm_timing.py 128 3
+
+# Full serving stack: cost-aware prune x DPM-20, sync + pipelined
+# protocols (tools/serving_stack_bench.py docstring)
+phase serving_stack python tools/serving_stack_bench.py 0.3 128 3
