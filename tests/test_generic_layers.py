@@ -25,7 +25,9 @@ torch = pytest.importorskip("torch")
 
 
 def _t(a):
-    return torch.from_numpy(np.asarray(a, dtype=np.float32))
+    # np.array (copy), not asarray: jax arrays export as non-writable numpy
+    # views and torch.from_numpy warns on those
+    return torch.from_numpy(np.array(a, dtype=np.float32))
 
 
 # -- torch forward parity ----------------------------------------------------
