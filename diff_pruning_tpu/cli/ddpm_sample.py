@@ -39,6 +39,9 @@ def parse_args(argv=None):
     from ..utils.tpu_flags import add_scoped_vmem_arg
 
     add_scoped_vmem_arg(p)
+    from ._multihost import add_multihost_args
+
+    add_multihost_args(p)
     return p.parse_args(argv)
 
 
@@ -49,6 +52,9 @@ def main(argv=None):
     enable_persistent_compilation_cache()
     args = parse_args(argv)
     set_scoped_vmem_limit(args.scoped_vmem_kib)  # before first device access
+    from ._multihost import maybe_init_distributed
+
+    maybe_init_distributed(args)  # likewise before first device access
     import jax
 
     from ..models.unet2d import UNet2D

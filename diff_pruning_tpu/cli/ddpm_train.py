@@ -49,6 +49,9 @@ def parse_args(argv=None):
                    help="optimizer steps fused into one device dispatch "
                         "(amortizes host->device latency; measured on v5e: "
                         "8 -> 2410, 16 -> 2466, 32 -> 2585 imgs/s)")
+    from ._multihost import add_multihost_args
+
+    add_multihost_args(p)
     return p.parse_args(argv)
 
 
@@ -57,6 +60,9 @@ def main(argv=None):
 
     enable_persistent_compilation_cache()
     args = parse_args(argv)
+    from ._multihost import maybe_init_distributed
+
+    maybe_init_distributed(args)  # before first device access
     import dataclasses
 
     import jax

@@ -26,8 +26,12 @@ def main(argv=None):
     from ..utils.tpu_flags import add_scoped_vmem_arg, set_scoped_vmem_limit
 
     add_scoped_vmem_arg(p)
+    from ._multihost import add_multihost_args, maybe_init_distributed
+
+    add_multihost_args(p)
     args = p.parse_args(argv)
     set_scoped_vmem_limit(args.scoped_vmem_kib)  # before first device access
+    maybe_init_distributed(args)  # likewise before first device access
 
     import jax
     import jax.numpy as jnp

@@ -37,6 +37,9 @@ def parse_args(argv=None):
     p.add_argument("--resume_from_checkpoint", type=str, default=None,
                    help="ckpt dir written by a previous run (output_dir/ckpt)")
     p.add_argument("--seed", type=int, default=0)
+    from ._multihost import add_multihost_args
+
+    add_multihost_args(p)
     return p.parse_args(argv)
 
 
@@ -45,6 +48,9 @@ def main(argv=None):
 
     enable_persistent_compilation_cache()
     args = parse_args(argv)
+    from ._multihost import maybe_init_distributed
+
+    maybe_init_distributed(args)  # before first device access
     import jax
     import jax.numpy as jnp
     import numpy as np
