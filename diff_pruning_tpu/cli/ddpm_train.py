@@ -144,15 +144,21 @@ def main(argv=None):
     batches = iterate_batches(ds, args.train_batch_size, seed=args.seed,
                               skip_batches=start_step)
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    os.makedirs(os.path.join(args.output_dir, "vis"), exist_ok=True)
-    archive_command(args.output_dir, "diff_pruning_tpu.cli.ddpm_train", argv)
-    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+    # every file write below is main-process-only on multi-host runs — the
+    # reference's accelerator.is_main_process guards (ddpm_train.py:384,482)
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(args.output_dir, exist_ok=True)
+        os.makedirs(os.path.join(args.output_dir, "vis"), exist_ok=True)
+        archive_command(args.output_dir, "diff_pruning_tpu.cli.ddpm_train", argv)
+    metrics_log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a") \
+        if is_main else open(os.devnull, "w")
     # experiment tracker (the reference's accelerate tracker choice,
     # ddpm_train.py:180-188,519-530) — native TFRecord TB or wandb
     from ..utils.tracking import make_tracker
 
-    tb = make_tracker(args.logger, os.path.join(args.output_dir, "logs"),
+    tb = make_tracker(args.logger if is_main else "none",
+                      os.path.join(args.output_dir, "logs"),
                       config=vars(args))
 
     # ONE compiled vis program for the whole run: params enter as jit
@@ -225,7 +231,11 @@ def main(argv=None):
             tb.add_scalar("train/imgs_per_sec", ips, step + 1)
             tb.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step + 1)
             tb.flush()
-        if (step + 1) % args.save_model_steps == 0 or step + 1 == args.num_iters:
+        if ((step + 1) % args.save_model_steps == 0
+                or step + 1 == args.num_iters) and is_main:
+            # main-process-only: the vis sampler runs on this process's
+            # local device and the replicated state is locally addressable,
+            # so no other process participates in the save
             pending_save = snapshot_save(state, step + 1)
     if pending_save is not None:
         service_save(*pending_save)

@@ -135,18 +135,25 @@ def main(argv=None):
     batches = iterate_labeled_batches(ds, args.train_batch_size,
                                       seed=args.seed, skip_batches=start_step)
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    archive_command(args.output_dir, "diff_pruning_tpu.cli.ldm_train", argv)
-    log = open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
-    from ..utils.tensorboard import SummaryWriter
+    # file writes are main-process-only on multi-host runs (the reference's
+    # Lightning rank-zero guards)
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(args.output_dir, exist_ok=True)
+        archive_command(args.output_dir, "diff_pruning_tpu.cli.ldm_train", argv)
+    log = (open(os.path.join(args.output_dir, "metrics.jsonl"), "a")
+           if is_main else open(os.devnull, "w"))
+    from ..utils.tracking import make_tracker
 
-    tb = SummaryWriter(os.path.join(args.output_dir, "logs"))
+    tb = make_tracker("tensorboard" if is_main else "none",
+                      os.path.join(args.output_dir, "logs"))
     base_key = jax.random.key(args.seed)
     # the frozen first-stage/cond-stage never changes: write it once, not
     # per save
-    cs_dir = os.path.join(args.output_dir, "cond_stage")
-    os.makedirs(cs_dir, exist_ok=True)
-    save_params_npz(os.path.join(cs_dir, "params.npz"), frozen["cond_stage"])
+    if is_main:
+        cs_dir = os.path.join(args.output_dir, "cond_stage")
+        os.makedirs(cs_dir, exist_ok=True)
+        save_params_npz(os.path.join(cs_dir, "params.npz"), frozen["cond_stage"])
 
     def service_save(host_state, at_step):
         host_params, host_opt = host_state
@@ -185,7 +192,8 @@ def main(argv=None):
             tb.add_scalar("train/loss", loss, step)
             tb.add_scalar("train/imgs_per_sec", rec["imgs_per_sec"], step)
             tb.flush()
-        if step % args.save_model_steps == 0 or step >= args.num_iters:
+        if (step % args.save_model_steps == 0
+                or step >= args.num_iters) and is_main:
             pending_save = (jax.device_get((unet_params, opt_state)), step)
     if pending_save is not None:
         service_save(*pending_save)

@@ -61,9 +61,26 @@ class WandbTracker:
         self._run.finish()
 
 
+class NullTracker:
+    """No-op backend for non-main processes on multi-host runs (the
+    reference creates its trackers under accelerator.is_main_process,
+    ddpm_train.py:357-359)."""
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
 def make_tracker(kind: str, logdir: str, config: Optional[dict] = None):
     if kind == "tensorboard":
         return TensorBoardTracker(logdir, config)
     if kind == "wandb":
         return WandbTracker(logdir, config)
-    raise ValueError(f"unknown logger {kind!r} (tensorboard | wandb)")
+    if kind == "none":
+        return NullTracker()
+    raise ValueError(f"unknown logger {kind!r} (tensorboard | wandb | none)")
