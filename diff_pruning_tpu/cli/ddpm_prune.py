@@ -50,6 +50,9 @@ def parse_args(argv=None):
                    help="DDIM steps used to draw the generated samples")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip_vis", action="store_true")
+    from ._multihost import add_multihost_args
+
+    add_multihost_args(p)
     return p.parse_args(argv)
 
 
@@ -80,6 +83,9 @@ def main(argv=None):
 
     enable_persistent_compilation_cache()
     args = parse_args(argv)
+    from ._multihost import maybe_init_distributed
+
+    maybe_init_distributed(args)  # before first device access
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -120,9 +126,10 @@ def main(argv=None):
                 hw = cfg.sample_size or 32
                 x01 = gen(jax.random.key(args.seed), args.batch_size, hw,
                           cfg.in_channels)
-                os.makedirs(args.save_path, exist_ok=True)
-                save_image_grid(x01[:64], os.path.join(
-                    args.save_path, "generated_for_pruning.png"))
+                if jax.process_index() == 0:
+                    os.makedirs(args.save_path, exist_ok=True)
+                    save_image_grid(x01[:64], os.path.join(
+                        args.save_path, "generated_for_pruning.png"))
                 x0 = x01 * 2.0 - 1.0
                 print(f"Generated {args.batch_size} samples for the sweep")
             else:
@@ -178,10 +185,13 @@ def main(argv=None):
         new_cfg, new_params, new_model = cfg, params, model
         macs, n_params = base_macs, base_params
 
-    save_model(args.save_path, new_cfg, new_params)
-    print(f"Saved pruned model to {args.save_path}")
+    # the sweep/selection is deterministic and replicated across processes;
+    # only rank zero writes artifacts on a multi-host run
+    if jax.process_index() == 0:
+        save_model(args.save_path, new_cfg, new_params)
+        print(f"Saved pruned model to {args.save_path}")
 
-    if not args.skip_vis:
+    if not args.skip_vis and jax.process_index() == 0:
         from ..sampling.ddim_sampler import SamplerConfig, make_sampler, save_image_grid
 
         sampler = make_sampler(new_model, new_params, schedule,
