@@ -84,3 +84,51 @@ def test_random_architecture_prunes_consistently(seed):
     out = m2(newp, x, t)
     assert out.shape == (2, 16, 16, 3), dataclasses.asdict(cfg)
     assert bool(jnp.isfinite(out).all()), dataclasses.asdict(cfg)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", range(3))
+def test_random_cond_unet_prunes_consistently(seed):
+    """Same fuzz on the openaimodel family: cross-attention head groups,
+    GEGLU two-part ff axes, scale-shift-norm, resblock_updown — the graph
+    couplings with the most index bookkeeping."""
+    from diff_pruning_tpu.models.unet_cond import UNetCond, UNetCondConfig
+
+    rng = np.random.default_rng(2000 + seed)
+    g = int(rng.choice([4, 8]))
+    st = bool(rng.integers(0, 2))
+    cfg = UNetCondConfig(
+        image_size=8, in_channels=3, out_channels=3,
+        model_channels=int(g * rng.integers(3, 6)),
+        num_res_blocks=int(rng.integers(1, 3)),
+        attention_resolutions=(2,) if rng.integers(0, 2) else (1, 2),
+        channel_mult=(1, 2),
+        num_heads=int(rng.choice([1, 2])),
+        transformer_depth=1,
+        context_dim=16 if st else None,
+        norm_num_groups=g,
+        use_spatial_transformer=st,
+        use_scale_shift_norm=bool(rng.integers(0, 2)),
+        resblock_updown=bool(rng.integers(0, 2)),
+    )
+    model = UNetCond(cfg)
+    params = model.init(jax.random.key(seed))
+    n0 = count_params(params)
+
+    imp = make_importance("magnitude", seed=seed)
+    res = prune(model.graph, params, imp,
+                sparsity=float(rng.uniform(0.15, 0.4)),
+                global_pruning=bool(rng.integers(0, 2)),
+                round_to=int(rng.choice([1, 2])))
+    newp = apply_pruning(params, model.graph, res)
+    m2 = UNetCond(cfg.with_channel_sizes(res.channel_sizes))
+    m2.graph.validate(newp)
+    assert count_params(newp) < n0
+
+    x = jax.random.normal(jax.random.key(seed + 1), (2, 8, 8, 3))
+    t = jnp.array([3, 500], jnp.int32)
+    ctx = (jax.random.normal(jax.random.key(seed + 2), (2, 4, 16))
+           if st else None)
+    out = m2(newp, x, t, context=ctx)
+    assert out.shape == (2, 8, 8, 3), dataclasses.asdict(cfg)
+    assert bool(jnp.isfinite(out).all()), dataclasses.asdict(cfg)
