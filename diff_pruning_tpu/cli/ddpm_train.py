@@ -71,7 +71,8 @@ def main(argv=None):
 
     from ..data.datasets import get_dataset, iterate_batches
     from ..models.unet2d import UNet2D
-    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from ..parallel.mesh import (make_mesh, process_batch_slice, replicate,
+                                 shard_batch, shard_batch_local)
     from ..sampling.ddim_sampler import SamplerConfig, make_sampler, save_image_grid
     from ..schedulers.ddpm import DiffusionSchedule
     from ..training.finetune import (TrainConfig, TrainState, init_train_state,
@@ -141,8 +142,13 @@ def main(argv=None):
     print(f"Dataset size: {len(ds)}")
     # one optimizer step consumes one batch; fast-forward the stream so a
     # resumed run replays the exact remaining schedule (VERDICT r1 weak #6)
+    # multi-host: each process decodes only its own rows of every global
+    # batch (RNG streams stay global, so the data seen is identical to a
+    # single-process run) and ships them via make_array_from_process_local_data
+    local = (process_batch_slice(mesh, args.train_batch_size)
+             if jax.process_count() > 1 else None)
     batches = iterate_batches(ds, args.train_batch_size, seed=args.seed,
-                              skip_batches=start_step)
+                              skip_batches=start_step, local_slice=local)
 
     # every file write below is main-process-only on multi-host runs — the
     # reference's accelerator.is_main_process guards (ddpm_train.py:384,482)
@@ -210,7 +216,8 @@ def main(argv=None):
     pending_save = None  # (host-state pytrees, step): disk writes deferred
     for step0 in range(start_step, args.num_iters, chunk):
         stacked = np.stack([next(batches) for _ in range(chunk)])
-        batch = shard_batch(mesh, jnp.asarray(stacked), batch_dim=1)
+        batch = (shard_batch_local(mesh, stacked, batch_dim=1) if local
+                 else shard_batch(mesh, jnp.asarray(stacked), batch_dim=1))
         skey = jax.random.fold_in(base_key, step0)
         state, metrics = step_fn(state, batch, skey)
         if pending_save is not None:

@@ -347,6 +347,7 @@ def iterate_batches(
     skip_batches: int = 0,
     transform: Optional[str] = None,
     dequant_seed: Optional[int] = None,
+    local_slice: Optional[Tuple[int, int]] = None,
 ) -> Iterator[np.ndarray]:
     """Shuffled epochs of normalized NHWC float32 batches with random flip.
 
@@ -360,6 +361,13 @@ def iterate_batches(
     [-1,1] default), or one of data_transforms' names via
     :func:`data_transform` with uniform dequantization noise drawn from
     ``dequant_seed``.
+    ``local_slice=(lo, hi)`` yields only rows [lo, hi) of each GLOBAL
+    batch — the multi-host fast path (parallel.mesh.process_batch_slice):
+    every RNG draw (shuffle, flips, dequant) still happens at the global
+    batch shape, so the yielded rows are bit-exactly the single-process
+    stream's rows [lo, hi), and only the plain path's pixel decode is
+    reduced to the local rows (the transform paths decode globally — they
+    are the cheap in-memory datasets).
     """
     from .. import native
 
@@ -394,6 +402,11 @@ def iterate_batches(
                     if tkw["gaussian_dequantization"]:
                         trng.standard_normal(shape, np.float32)
                 continue
+            if plain and local_slice is not None:
+                # multi-host: decode/assemble only this process's rows
+                # (RNG draws above already happened at global shape)
+                lo, hi = local_slice
+                idx, flips = idx[lo:hi], flips[lo:hi]
             if in_memory:
                 if plain:
                     # hot path: native OpenMP gather+flip+normalize
@@ -415,8 +428,11 @@ def iterate_batches(
             if plain:
                 yield normalize(imgs)
             else:
-                yield data_transform(imgs.astype(np.float32) / 255.0,
+                out = data_transform(imgs.astype(np.float32) / 255.0,
                                      rng=trng, **tkw)
+                if local_slice is not None:
+                    out = out[local_slice[0]:local_slice[1]]
+                yield out
         if not loop:
             return
 

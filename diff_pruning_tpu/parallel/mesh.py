@@ -48,6 +48,39 @@ def shard_batch(mesh: Mesh, batch, axis: str = "data", *, batch_dim: int = 0):
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def process_batch_slice(mesh: Mesh, global_batch: int,
+                        axis: str = "data") -> Tuple[int, int]:
+    """This process's contiguous row range [lo, hi) of a batch sharded over
+    ``axis`` — so multi-host data loaders can decode ONLY local rows
+    (each host of a pod otherwise decodes the full global batch and ships
+    1/N of it). Asserts the process's shards are contiguous, which holds
+    for make_mesh's process-major device order."""
+    sh = NamedSharding(mesh, P(axis))
+    pid = jax.process_index()
+    spans = [(s[0].start or 0, global_batch if s[0].stop is None else s[0].stop)
+             for d, s in sh.devices_indices_map((global_batch,)).items()
+             if d.process_index == pid]
+    assert spans, f"process {pid} owns no shard of the '{axis}' axis"
+    lo = min(s for s, _ in spans)
+    hi = max(e for _, e in spans)
+    assert sum(e - s for s, e in spans) == hi - lo, (
+        f"process {pid}'s shards are not contiguous: {sorted(spans)}")
+    return lo, hi
+
+
+def shard_batch_local(mesh: Mesh, local_batch, axis: str = "data", *,
+                      batch_dim: int = 0):
+    """Build the global batch-sharded array from THIS process's rows only
+    (jax.make_array_from_process_local_data) — the multi-host fast path
+    pairing :func:`process_batch_slice`; single-process it equals
+    :func:`shard_batch`."""
+    spec = P(*([None] * batch_dim + [axis]))
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch)
+
+
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

@@ -30,6 +30,26 @@ def _free_port() -> int:
     return port
 
 
+def test_local_slice_matches_global_stream(tmp_path):
+    """iterate_batches(local_slice=(lo,hi)) must yield bit-exactly rows
+    [lo,hi) of the global stream — the multi-host local-decode fast path —
+    on both the plain and the dequant-transform paths."""
+    import numpy as np
+
+    from diff_pruning_tpu.data.datasets import get_dataset, iterate_batches
+
+    rng = np.random.default_rng(0)
+    np.savez(tmp_path / "d.npz",
+             images=rng.integers(0, 256, (32, 8, 8, 3), dtype=np.uint8))
+    ds = get_dataset(str(tmp_path / "d.npz"))
+    for transform in (None, "rescaled+udq"):
+        full = iterate_batches(ds, 8, seed=5, transform=transform)
+        part = iterate_batches(ds, 8, seed=5, transform=transform,
+                               local_slice=(2, 6))
+        for _ in range(6):
+            np.testing.assert_array_equal(next(full)[2:6], next(part))
+
+
 @pytest.mark.slow
 def test_two_process_sampling_union_bitexact(tmp_path):
     port = _free_port()
