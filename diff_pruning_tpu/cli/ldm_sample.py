@@ -50,7 +50,17 @@ def main(argv=None):
                                    guidance_scale=args.scale, eta=args.eta,
                                    latent_hw=hw, latent_ch=ch, mesh=mesh,
                                    method=args.method)
-    os.makedirs(args.output_dir, exist_ok=True)
+    multiproc = jax.process_count() > 1
+    outdir = args.output_dir
+    if multiproc:
+        # each host writes its local shard rows to process_{i}/ with local
+        # numbering (ddpm_sample.py:55-74's layout); whole batches only
+        assert mesh is not None, (
+            "--multihost needs batch_size divisible by the device count")
+        assert args.ipc % args.batch_size == 0, (
+            "--multihost needs --ipc % --batch_size == 0")
+        outdir = os.path.join(args.output_dir, f"process_{jax.process_index()}")
+    os.makedirs(outdir, exist_ok=True)
     # jit the whole latent->image decode (one program per dispatch — this
     # platform pays seconds of latency per op otherwise) and pipeline:
     # batch b+1's trajectory runs on-device while batch b's PNGs encode.
@@ -63,7 +73,13 @@ def main(argv=None):
     pending = None
 
     def flush(imgs_dev, n, start):
-        save_images(np.asarray(imgs_dev)[:n], args.output_dir, start_index=start)
+        if multiproc:
+            from ..sampling.distributed import fetch_local_rows
+
+            save_images(fetch_local_rows(imgs_dev), outdir,
+                        start_index=start // jax.process_count())
+        else:
+            save_images(np.asarray(imgs_dev)[:n], outdir, start_index=start)
 
     for cls in range(args.num_classes):
         remaining = args.ipc

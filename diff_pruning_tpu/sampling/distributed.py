@@ -20,6 +20,18 @@ from ..parallel.mesh import data_sharding
 from .ddim_sampler import save_images, to_uint8
 
 
+def fetch_local_rows(imgs_dev) -> np.ndarray:
+    """Materialize a batch on the host. Single-process (or fully
+    addressable): the whole array. Multi-host: ONLY this process's
+    addressable shards, ordered by global batch offset — fetching a
+    globally-sharded array raises across hosts."""
+    if jax.process_count() > 1 and not imgs_dev.is_fully_addressable:
+        shards = sorted(imgs_dev.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(imgs_dev)
+
+
 def sample_many(
     sampler: Callable,
     *,
@@ -66,15 +78,11 @@ def sample_many(
     def flush(imgs_dev, start):
         """Materialize a finished batch on the host and save/collect it."""
         if multiproc and not imgs_dev.is_fully_addressable:
-            # Fetching a globally-sharded array raises across hosts; each
-            # host materializes ONLY its addressable shards (ordered by
-            # global batch offset) and numbers them locally inside its
-            # process_{i} subdir — the reference's per-process layout
+            # each host saves its local shard rows, numbered locally inside
+            # its process_{i} subdir — the reference's per-process layout
             # (ddpm_sample.py:55-74). tests/test_multiprocess.py proves the
             # union across hosts is bit-exact vs a single-process run.
-            shards = sorted(imgs_dev.addressable_shards,
-                            key=lambda s: s.index[0].start or 0)
-            imgs = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+            imgs = fetch_local_rows(imgs_dev)
             start = local_count[0]
         else:
             imgs = np.asarray(imgs_dev)[: min(batch_size, total_images - start)]
