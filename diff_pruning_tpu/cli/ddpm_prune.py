@@ -154,6 +154,10 @@ def main(argv=None):
                 n_dev = len(jax.devices())
                 n_use = max(d for d in range(1, n_dev + 1)
                             if x0.shape[0] % d == 0)
+                if jax.process_count() > 1 and n_use != n_dev:
+                    raise SystemExit(
+                        f"--multihost: batch_size {x0.shape[0]} must be "
+                        f"divisible by the global device count {n_dev}")
                 mesh = (make_mesh((("data", n_use),),
                                   devices=jax.devices()[:n_use])
                         if n_use > 1 else None)

@@ -109,6 +109,11 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     n_use = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    if jax.process_count() > 1 and n_use != n_dev:
+        raise SystemExit(
+            f"--multihost: batch_size {args.batch_size} must be divisible "
+            f"by the global device count {n_dev}, or some hosts would own "
+            "no shard and the slice would hang")
     mesh = make_mesh((("data", n_use),), devices=jax.devices()[:n_use])
     sampler = make_sampler(model, params, schedule, SamplerConfig(
         num_inference_steps=args.ddim_steps,

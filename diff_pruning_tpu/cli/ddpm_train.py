@@ -112,6 +112,11 @@ def main(argv=None):
     n_dev = len(jax.devices())
     n_use = max(d for d in range(1, n_dev + 1)
                 if args.train_batch_size % d == 0)
+    if jax.process_count() > 1 and n_use != n_dev:
+        raise SystemExit(
+            f"--multihost: train_batch_size {args.train_batch_size} must be "
+            f"divisible by the global device count {n_dev}, or some hosts "
+            "would own no data shard and the slice would hang")
     mesh = make_mesh((("data", n_use),), devices=jax.devices()[:n_use])
     print(f"mesh: {mesh.shape}, devices: {n_dev}")
     state = init_train_state(params, tcfg_train)
@@ -193,6 +198,17 @@ def main(argv=None):
         # The train step donates its input state, so the host copy must be
         # taken before the next chunk is dispatched; only the ~570 MB of
         # npz DISK writes are deferred to overlap the next chunk.
+        if jax.process_count() > 1:
+            # rank-zero-only saves must not dispatch programs on globally-
+            # committed arrays (every process would have to participate);
+            # fetch the replicated state to host first — legal for fully-
+            # replicated arrays — and vis from the host copy, which jit
+            # places on this process's local device.
+            host = jax.device_get((saved_state.params, saved_state.ema_params,
+                                   saved_state.opt_state))
+            make_vis(host[1] if host[1] is not None else host[0],
+                     f"iter-{at_step}")
+            return (host, at_step)
         make_vis(saved_state.ema_params or saved_state.params, f"iter-{at_step}")
         return (jax.device_get((saved_state.params, saved_state.ema_params,
                                 saved_state.opt_state)), at_step)

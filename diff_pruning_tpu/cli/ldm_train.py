@@ -104,8 +104,7 @@ def main(argv=None):
     chunk = chunk_for_intervals(args.steps_per_dispatch,
                                 args.save_model_steps, args.log_steps)
 
-    @jax.jit
-    def chunk_step(unet_params, opt_state, images, labels, key):
+    def _chunk_fn(unet_params, opt_state, images, labels, key):
         def body(carry, inp):
             up, os_ = carry
             i, img, lab = inp
@@ -120,6 +119,31 @@ def main(argv=None):
             (jnp.arange(images.shape[0]), images, labels))
         return unet_params, opt_state, losses[-1]
 
+    # data-parallel over every device that evenly divides the batch —
+    # params/optimizer replicated, per-step batches sharded over 'data',
+    # grad psum inserted by GSPMD (≡ training/finetune.make_train_step)
+    from ..parallel.mesh import make_mesh, replicate, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = len(jax.devices())
+    n_use = max(d for d in range(1, n_dev + 1)
+                if args.train_batch_size % d == 0)
+    if jax.process_count() > 1 and n_use != n_dev:
+        raise SystemExit(
+            f"--multihost: train_batch_size {args.train_batch_size} must be "
+            f"divisible by the global device count {n_dev}")
+    mesh = (make_mesh((("data", n_use),), devices=jax.devices()[:n_use])
+            if n_use > 1 else None)
+    if mesh is None:
+        chunk_step = jax.jit(_chunk_fn)
+    else:
+        repl = NamedSharding(mesh, P())
+        data_sh = NamedSharding(mesh, P(None, "data"))
+        chunk_step = jax.jit(_chunk_fn,
+                             in_shardings=(repl, repl, data_sh, data_sh, repl),
+                             out_shardings=(repl, repl, repl))
+        print(f"mesh: {dict(mesh.shape)}")
+
     unet_params = params["unet"]
     start_step = 0
     if args.resume_from_checkpoint:
@@ -129,6 +153,10 @@ def main(argv=None):
         start_step = int(meta["step"])
         print(f"resumed from step {start_step} "
               f"(optimizer {'restored' if restored else 'RE-INITIALIZED'})")
+
+    if mesh is not None:
+        unet_params = replicate(mesh, unet_params)
+        opt_state = replicate(mesh, opt_state)
 
     ds = get_labeled_dataset(args.dataset, resolution=img_res)
     print(f"dataset: {len(ds)} images, {len(ds.class_names)} classes")
@@ -173,6 +201,9 @@ def main(argv=None):
         imgs, labs = zip(*[next(batches) for _ in range(chunk)])
         imgs = jnp.asarray(np.stack(imgs))
         labs = jnp.asarray(np.stack(labs))
+        if mesh is not None:
+            imgs = shard_batch(mesh, imgs, batch_dim=1)
+            labs = shard_batch(mesh, labs, batch_dim=1)
         sk = jax.random.fold_in(base_key, step0)
         unet_params, opt_state, loss = chunk_step(unet_params, opt_state,
                                                   imgs, labs, sk)

@@ -100,6 +100,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
     (scripts/sample_ddpm_cifar10_pretrained_distributed.sh:1). On TPU pods
     every arg is auto-detected from the environment; call before any jax
     device use, then make_mesh() spans all hosts' chips over DCN+ICI."""
+    explicit = (coordinator_address, num_processes, process_id)
+    if any(v is not None for v in explicit) and None in explicit:
+        raise ValueError(
+            "explicit multi-host init needs ALL of coordinator_address, "
+            f"num_processes, and process_id (got {explicit}); on TPU pods "
+            "omit all three for auto-detection")
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,

@@ -24,10 +24,15 @@ def fetch_local_rows(imgs_dev) -> np.ndarray:
     """Materialize a batch on the host. Single-process (or fully
     addressable): the whole array. Multi-host: ONLY this process's
     addressable shards, ordered by global batch offset — fetching a
-    globally-sharded array raises across hosts."""
+    globally-sharded array raises across hosts. Replicated shards (e.g.
+    the batch replicated over a 2-D mesh's 'model' axis) are deduplicated
+    by index so each row is returned once."""
     if jax.process_count() > 1 and not imgs_dev.is_fully_addressable:
-        shards = sorted(imgs_dev.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
+        uniq = {}
+        for s in imgs_dev.addressable_shards:
+            key = tuple((sl.start, sl.stop) for sl in s.index)
+            uniq.setdefault(key, s)
+        shards = sorted(uniq.values(), key=lambda s: s.index[0].start or 0)
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(imgs_dev)
 
@@ -64,11 +69,16 @@ def sample_many(
             f"batch_size {batch_size} must divide by the data axis ({n_shards})")
     multiproc = jax.process_count() > 1
     if multiproc:
-        # each host flushes whole local shards; a ragged final batch would
-        # need global-position bookkeeping the reference also avoids
-        # (num_batches rounds to whole batches, ddpm_sample.py:67)
-        assert total_images % batch_size == 0, (
-            "multi-process sampling requires total_images % batch_size == 0")
+        # a mesh spanning every process is required: without one each host
+        # would hold the full batch and save P duplicate copies
+        assert mesh is not None, (
+            "multi-process sampling requires a mesh spanning all processes")
+        if total_images % batch_size:
+            # each host flushes whole local shards; like the reference's
+            # ceil-rounding (ddpm_sample.py:67) the run writes whole
+            # batches, i.e. slightly MORE than total_images if ragged
+            print(f"multi-process run rounds {total_images} up to "
+                  f"{num_batches * batch_size} images (whole batches)")
     results = [] if outdir is None else None
     sub = outdir
     if outdir is not None and multiproc:
@@ -92,8 +102,9 @@ def sample_many(
         else:
             results.append(imgs)
         if progress:
-            print(f"  sampled {local_count[0]}"
-                  f"/{total_images // (jax.process_count() if multiproc else 1)}"
+            local_total = (num_batches * batch_size // jax.process_count()
+                           if multiproc else total_images)
+            print(f"  sampled {local_count[0]}/{local_total}"
                   + (" (local)" if multiproc else ""))
 
     # Pipelined: dispatch batch b+1 before materializing batch b, so PNG

@@ -115,7 +115,6 @@ def main():
             lambda x: jax.device_put(x.astype(jnp.bfloat16),
                                      jax.devices()[0]), p)
 
-    rows = []  # (label, model, params, kind, steps)
     base_bf16 = to_dev_bf16(params)
     pruned_bf16 = to_dev_bf16(newp)
     macs_b, n_b = count_ops_and_params(model, params, (1, hw, hw, ch))
