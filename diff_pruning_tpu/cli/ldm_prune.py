@@ -169,6 +169,12 @@ def main(argv=None):
     save_model(args.save_path, new_ucfg, params2["unet"], subfolder="unet")
     save_params_npz(os.path.join(args.save_path, "cond_stage", "params.npz"),
                     params2["cond_stage"])
+    if ldm.first_stage is not None:
+        # carry the (frozen, unpruned) codec through: the reference's
+        # finetune step needs it to encode images (ldm_exp/main.py:533-566),
+        # so a pruned artifact without it cannot be trained
+        save_model(args.save_path, ldm.first_stage.cfg,
+                   params2["first_stage"], subfolder="first_stage")
     print(f"Saved pruned LDM to {args.save_path}")
 
     if not args.skip_vis:

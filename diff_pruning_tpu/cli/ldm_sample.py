@@ -72,12 +72,19 @@ def main(argv=None):
     idx = 0
     pending = None
 
+    local_idx = 0  # per-process PNG numbering (ADVICE r3: processes can own
+    # unequal device counts, so deriving it as start//process_count can
+    # collide or skip; count what THIS process actually wrote, like
+    # sampling/distributed.py's sample_many does)
+
     def flush(imgs_dev, n, start):
+        nonlocal local_idx
         if multiproc:
             from ..sampling.distributed import fetch_local_rows
 
-            save_images(fetch_local_rows(imgs_dev), outdir,
-                        start_index=start // jax.process_count())
+            rows = fetch_local_rows(imgs_dev)
+            save_images(rows, outdir, start_index=local_idx)
+            local_idx += len(rows)
         else:
             save_images(np.asarray(imgs_dev)[:n], outdir, start_index=start)
 

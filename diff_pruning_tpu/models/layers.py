@@ -173,21 +173,49 @@ class GroupNorm:
         #      pattern XLA fuses into neighboring conv epilogues (the
         #      ablation's affine-only GN ran 2.56x faster end-to-end).
         red_axes = tuple(range(1, xf.ndim - 1))
-        n_per_group = (c // g) * int(np.prod([xf.shape[a] for a in red_axes]))
-        s1 = jnp.sum(xf, axis=red_axes)        # (B, C)
-        s2 = jnp.sum(xf * xf, axis=red_axes)   # (B, C)
-        bdim = s1.shape[0]
-        s1g = s1.reshape(bdim, g, c // g).sum(-1)   # (B, g)
-        s2g = s2.reshape(bdim, g, c // g).sum(-1)
-        mean = s1g / n_per_group
-        # E[x^2]-E[x]^2 in f32; clamp tiny negative cancellation residue
-        varr = jnp.maximum(s2g / n_per_group - mean * mean, 0.0)
+        n_spatial = int(np.prod([xf.shape[a] for a in red_axes]))
+        n_per_group = (c // g) * n_spatial
+        bcast = (slice(None),) + (None,) * (xf.ndim - 2) + (slice(None),)
+        # Variance formulation is gated on the INPUT dtype (ADVICE r3 +
+        # measured in-model cost, docs/PERF.md r4):
+        # * f32/f64 inputs (parity tests, eval, --mixed_precision no):
+        #   SHIFTED variance — E[x^2]-E[x]^2 cancels catastrophically when
+        #   mean^2 >> var. Anchor each channel at its first spatial element
+        #   m0 (a sample from the distribution, so |x-m0| ~ O(std)); still
+        #   ONE read of x, and the exact correction runs on tiny (B,C)
+        #   tensors in f32.
+        # * bf16/f16 inputs (the TPU hot paths): plain sum/sumsq — the
+        #   input's own mantissa quantization (bf16: ~3e-3 relative) dwarfs
+        #   the f32 stats cancellation in any regime where the layer output
+        #   is still meaningful, and the shifted path measured -9.2%
+        #   in-model (DDIM-100 sampling 114.1 -> 103.5 imgs/s A/B).
+        shifted = orig_dtype in (jnp.float32, jnp.float64)
+        bdim = xf.shape[0]
+        if shifted:
+            m0 = xf[(slice(None),) + (0,) * (xf.ndim - 2) + (slice(None),)]
+            d = xf - m0[bcast]
+        else:
+            d = xf
+        s1 = jnp.sum(d, axis=red_axes)        # (B, C)
+        s2 = jnp.sum(d * d, axis=red_axes)    # (B, C)
+        s1g = s1.reshape(bdim, g, c // g)
+        s2g = s2.reshape(bdim, g, c // g)
+        if shifted:
+            m0g = m0.reshape(bdim, g, c // g)
+            mean = (s1g.sum(-1) + n_spatial * m0g.sum(-1)) / n_per_group
+            # exact: sum (x-mean)^2 = s2 + 2(m0-mean)s1 + N(m0-mean)^2 /chan
+            delta = m0g - mean[..., None]
+            varr = (s2g + 2.0 * delta * s1g
+                    + n_spatial * delta * delta).sum(-1) / n_per_group
+        else:
+            mean = s1g.sum(-1) / n_per_group
+            varr = s2g.sum(-1) / n_per_group - mean * mean
+        varr = jnp.maximum(varr, 0.0)
         inv = jax.lax.rsqrt(varr + self.eps)        # (B, g)
         invc = jnp.repeat(inv, c // g, axis=-1)     # (B, C)
         meanc = jnp.repeat(mean, c // g, axis=-1)
         a = p["scale"].astype(jnp.float32) * invc
         bb = p["bias"].astype(jnp.float32) - meanc * a
-        bcast = (slice(None),) + (None,) * (xf.ndim - 2) + (slice(None),)
         y = xf * a[bcast] + bb[bcast]
         if with_silu:
             y = y * jax.nn.sigmoid(y)

@@ -25,16 +25,23 @@ from ..pruning.surgery import flatten_params, get_path
 
 def tp_param_shardings(graph: ChannelGraph, params: dict, mesh: Mesh,
                        axis: str = "model") -> dict:
-    """params-shaped pytree of NamedShardings: out-axes sharded on `axis`."""
+    """params-shaped pytree of NamedShardings: every out-axis AND the
+    matching norm/bias vectors sharded on `axis` where the channel count
+    divides the axis size; 'in' kernel axes stay with GSPMD propagation
+    (annotating them too would conflict with the same kernel's out-axis
+    entry). Non-divisible channel counts — routine after pruning, whose
+    per-var sizes are importance-driven — degrade gracefully to replicated
+    for that param only (tested in test_tp_sharding.py)."""
     size = mesh.shape[axis]
-    # param path -> (ndim, out_axis or None)
+    # param path -> sharded axis; 'out' first so it wins over any other
+    # role on the same param (kernels carry both 'out' and 'in' refs)
     plan: Dict[str, int] = {}
     for ref in graph.refs:
-        if ref.role != "out":
+        if ref.role == "in":
             continue
         arr = get_path(params, ref.param)
         if arr.shape[ref.axis] % size == 0:
-            plan[ref.param] = ref.axis
+            plan.setdefault(ref.param, ref.axis)
 
     flat = flatten_params(params)
     out = {}

@@ -103,13 +103,23 @@ def save_train_state(path: str, *, step: int, params: dict, ema_params=None,
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, "LATEST"))
-    # retire old versions (never the one LATEST points to)
-    old = sorted((e for e in os.listdir(path)
-                  if e.startswith("step-") and e != f"step-{int(step)}"),
-                 key=lambda e: int(e.split("-")[1]))
-    for e in old[:-(keep - 1)] if keep > 1 else old:
-        import shutil
+    # Retire old versions (never the one LATEST points to). meta.json is
+    # written + fsynced LAST, so a step dir without it is a torn,
+    # never-committed save (SIGKILL mid-write): delete those first and
+    # count only COMMITTED versions toward `keep` — a torn dir must never
+    # displace the last good fallback (ADVICE r3).
+    import shutil
 
+    committed = []
+    for e in os.listdir(path):
+        if not e.startswith("step-") or e == f"step-{int(step)}":
+            continue
+        if os.path.exists(os.path.join(path, e, "meta.json")):
+            committed.append(e)
+        else:
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+    committed.sort(key=lambda e: int(e.split("-")[1]))
+    for e in committed[:-(keep - 1)] if keep > 1 else committed:
         shutil.rmtree(os.path.join(path, e), ignore_errors=True)
 
 

@@ -88,6 +88,96 @@ def load_diffusers_unet_checkpoint(model_dir: str) -> dict:
     raise FileNotFoundError(f"no UNet weights in {model_dir}")
 
 
+# -- diffusers save_pretrained EXPORT -----------------------------------------
+
+_EXPORT_DIFFUSERS_VERSION = "0.11.1"  # the version the reference pins
+
+_SCHEDULER_EXTRAS = {
+    # reference pipeline saves: DDPMScheduler / DDIMScheduler config keys
+    # beyond the shared beta family (diffusers scheduling_ddpm.py /
+    # scheduling_ddim.py defaults as of the pinned version).
+    "DDPMScheduler": {"clip_sample": True, "variance_type": "fixed_small",
+                      "prediction_type": "epsilon", "trained_betas": None},
+    "DDIMScheduler": {"clip_sample": True, "set_alpha_to_one": True,
+                      "steps_offset": 0, "prediction_type": "epsilon",
+                      "trained_betas": None},
+}
+
+
+def export_diffusers_pipeline(dst: str, cfg, params: dict, *,
+                              pipeline_class: str = "DDPMPipeline",
+                              scheduler_class: str = "DDPMScheduler",
+                              num_train_timesteps: int = 1000,
+                              beta_schedule: str = "linear",
+                              beta_start: float = 0.0001,
+                              beta_end: float = 0.02) -> None:
+    """Write a diffusers ``save_pretrained``-layout pipeline directory.
+
+    The reference persists its artifacts this way
+    (``pipeline.save_pretrained(args.save_path)``, ddpm_prune.py:132) so HF
+    ecosystem tooling can consume them; this is the export half of our
+    importer (`load_diffusers_unet_checkpoint`). Layout:
+
+      dst/model_index.json
+      dst/unet/{config.json, diffusion_pytorch_model.safetensors}
+      dst/scheduler/scheduler_config.json
+
+    Pruned-shape caveat: stock diffusers reconstructs module shapes from
+    config alone, which cannot express per-layer pruned channel counts — the
+    reference itself falls back to pickling the whole pruned module
+    (ddpm_prune.py:133-135, ``torch.save(model, .../unet_pruned.pth)``). We
+    keep ``channel_sizes`` in the exported unet/config.json (diffusers
+    ignores unknown config keys) so OUR importer round-trips pruned models,
+    but only unpruned-shape exports instantiate in stock diffusers.
+    """
+    import dataclasses
+    import json
+    import os
+
+    from safetensors.numpy import save_file
+
+    unet_dir = os.path.join(dst, "unet")
+    sched_dir = os.path.join(dst, "scheduler")
+    os.makedirs(unet_dir, exist_ok=True)
+    os.makedirs(sched_dir, exist_ok=True)
+
+    with open(os.path.join(dst, "model_index.json"), "w") as f:
+        json.dump({"_class_name": pipeline_class,
+                   "_diffusers_version": _EXPORT_DIFFUSERS_VERSION,
+                   "scheduler": ["diffusers", scheduler_class],
+                   "unet": ["diffusers", "UNet2DModel"]}, f, indent=2)
+
+    d = dataclasses.asdict(cfg)
+    if not d.get("channel_sizes"):
+        d.pop("channel_sizes", None)
+    d.pop("_JSON_SKIP", None)
+    d["_class_name"] = "UNet2DModel"
+    d["_diffusers_version"] = _EXPORT_DIFFUSERS_VERSION
+    with open(os.path.join(unet_dir, "config.json"), "w") as f:
+        json.dump(d, f, indent=2, sort_keys=True)
+
+    sd = params_to_torch_state_dict(params)
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        a = np.asarray(v)
+        if a.dtype not in (np.float32, np.float64) and a.dtype.kind == "V":
+            a = a.astype(np.float32)  # ml_dtypes bfloat16 -> f32 for torch
+        elif a.dtype == np.float64:
+            a = a.astype(np.float32)
+        out[k] = np.ascontiguousarray(a)
+    save_file(out, os.path.join(unet_dir,
+                                "diffusion_pytorch_model.safetensors"))
+
+    sched = {"_class_name": scheduler_class,
+             "_diffusers_version": _EXPORT_DIFFUSERS_VERSION,
+             "num_train_timesteps": num_train_timesteps,
+             "beta_schedule": beta_schedule,
+             "beta_start": beta_start, "beta_end": beta_end}
+    sched.update(_SCHEDULER_EXTRAS.get(scheduler_class, {}))
+    with open(os.path.join(sched_dir, "scheduler_config.json"), "w") as f:
+        json.dump(sched, f, indent=2, sort_keys=True)
+
+
 # -- CompVis LDM UNetModel (openaimodel) conversion ---------------------------
 
 _LDM_RENAMES = [

@@ -85,6 +85,52 @@ def test_gn_layer_with_silu_flag():
                                rtol=1e-6)
 
 
+def test_gn_high_mean_low_variance_precision():
+    """ADVICE r3: the one-pass E[x^2]-E[x]^2 variance cancels
+    catastrophically when mean^2 >> var (f32 keeps ~7 digits; the residue
+    clamps to 0 and the scale blows up to rsqrt(eps)). The shifted-variance
+    rewrite (anchor at each channel's first element) must track a float64
+    reference through this regime. mean=100, std=1e-2: the old formulation
+    errs O(1) here, the shifted one ~1e-3."""
+    from diff_pruning_tpu.models.layers import GroupNorm, Scope
+    from diff_pruning_tpu.pruning.graph import ChannelGraph
+
+    g = ChannelGraph()
+    v = g.var("v", 32)
+    gn = GroupNorm(Scope(g)("gn"), v, 8)
+    p = gn.init(None)
+    rng = np.random.default_rng(0)
+    x64 = 100.0 + 1e-2 * rng.standard_normal((2, 4, 4, 32))
+    # quantize to f32 FIRST so reference and layer see identical inputs
+    x64 = x64.astype(np.float32).astype(np.float64)
+    xg = x64.reshape(2, 4, 4, 8, 4)
+    mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+    var = xg.var(axis=(1, 2, 4), keepdims=True)
+    ref = ((xg - mean) / np.sqrt(var + gn.eps)).reshape(x64.shape)
+    y = gn(p, jnp.asarray(x64, jnp.float32))
+    np.testing.assert_allclose(np.asarray(y), ref, atol=5e-2)
+
+
+def test_gn_bf16_keeps_fast_one_pass_path():
+    """The shifted-variance path is gated to f32/f64 inputs: on bf16 the
+    input quantization dwarfs the stats cancellation and the shifted path
+    measured -9.2% in-model (docs/PERF.md r4). bf16 GN must stay finite and
+    close to the f32 result on normal-regime activations."""
+    from diff_pruning_tpu.models.layers import GroupNorm, Scope
+    from diff_pruning_tpu.pruning.graph import ChannelGraph
+
+    g = ChannelGraph()
+    v = g.var("v", 32)
+    gn = GroupNorm(Scope(g)("gn"), v, 8)
+    p = gn.init(None)
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 32), jnp.float32)
+    y32 = gn(p, x)
+    y16 = gn(p, x.astype(jnp.bfloat16))
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32),
+                               np.asarray(y32), atol=0.1)
+
+
 @pytest.mark.parametrize("shape", [(1, 1, 1024, 224), (1, 2, 512, 32),
                                    (2, 1, 700, 64)])
 def test_flash_attention_matches_reference(shape):

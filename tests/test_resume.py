@@ -158,6 +158,29 @@ def test_checkpoint_atomicity_torn_write(workspace, tmp_path):
     assert load_train_state(ck)[0]["step"] == 4
     dirs = sorted(e for e in os.listdir(ck) if e.startswith("step-"))
     assert "step-1" not in dirs and "step-4" in dirs
+    # ADVICE r3: the torn step-2 must not count toward keep — it is deleted
+    # and the retained fallback is the last COMMITTED version (step-3)
+    assert "step-2" not in dirs
+    assert "step-3" in dirs
+
+
+def test_torn_dir_never_displaces_good_fallback(tmp_path):
+    """The exact ADVICE r3 scenario: SIGKILL mid-save of step N+1 leaves a
+    garbage dir; the NEXT successful save (N+2, keep=2) must retain the
+    last good step-N as fallback and delete the torn step-(N+1), not the
+    reverse."""
+    import jax.numpy as jnp
+
+    ck = str(tmp_path / "ck")
+    params = {"w": jnp.ones((2,))}
+    save_train_state(ck, step=1, params=params)  # step N, good
+    torn = os.path.join(ck, "step-2")            # step N+1, torn (no meta)
+    os.makedirs(torn)
+    with open(os.path.join(torn, "params.npz"), "wb") as f:
+        f.write(b"\x00garbage")
+    save_train_state(ck, step=3, params=params, keep=2)  # step N+2
+    dirs = sorted(e for e in os.listdir(ck) if e.startswith("step-"))
+    assert dirs == ["step-1", "step-3"], dirs
 
 
 def test_iterate_batches_skip_matches_stream():

