@@ -133,7 +133,9 @@ def phase_ablate():
     rows = []
 
     def run(tag, **cfg_kw):
-        cfg = TrainConfig(use_ema=True, mixed_precision="bf16", **cfg_kw)
+        kw = dict(use_ema=True, mixed_precision="bf16")
+        kw.update(cfg_kw)  # overrides must not collide with the defaults
+        cfg = TrainConfig(**kw)
         _, state, step, batches = build(cfg=cfg)
         ips, dt = timeit(step, state, batches)
         rows.append({"phase": "ablate", "tag": tag,
