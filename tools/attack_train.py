@@ -119,6 +119,44 @@ def phase_trace(outdir="/tmp/trace_train"):
         print(json.dumps({"phase": "trace_op", **row}), flush=True)
 
 
+def phase_roofline():
+    """Analytic roofline from XLA's own compiled cost analysis (no profiler
+    needed — the axon tunnel's profiler_controller can reject trace sessions
+    with INVALID_ARGUMENT, as it did this round). flops + bytes accessed of
+    the ONE compiled chunked program vs v5e peak (197 TF/s bf16, 819 GB/s
+    HBM) bound the achievable step time; comparing with the measured step
+    time says which wall the step sits against and how much headroom
+    remains."""
+    import jax
+
+    _, state, step, batches = build()
+    lowered = step.lower(state, batches, jax.random.key(0))
+    compiled = lowered.compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"phase": "roofline",
+                          "error": f"cost_analysis: {e}"[:200]}), flush=True)
+        return
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+    ips, dt = timeit(step, state, batches)
+    t_compute = flops / V5E_PEAK_BF16
+    t_hbm = bytes_acc / 819e9
+    print(json.dumps({
+        "phase": "roofline", "imgs_per_sec": round(ips, 1),
+        "measured_s_per_dispatch": round(dt, 3),
+        "xla_flops_per_dispatch": flops,
+        "xla_bytes_per_dispatch": bytes_acc,
+        "compute_bound_floor_s": round(t_compute, 3),
+        "hbm_bound_floor_s": round(t_hbm, 3),
+        "arithmetic_intensity_flops_per_byte": round(flops / max(bytes_acc, 1), 1),
+        "pct_of_dominant_roofline": round(
+            100 * max(t_compute, t_hbm) / dt, 1),
+    }), flush=True)
+
+
 def phase_ablate():
     """Attribute cost by removing one component at a time. fwd-only uses the
     SAME chunked harness with gradients replaced by a loss-only pass to
@@ -298,6 +336,8 @@ def main():
         phase_baseline()
     if which in ("trace", "all"):
         phase_trace()
+    if which in ("roofline", "all"):
+        phase_roofline()
     if which in ("ablate", "all"):
         phase_ablate()
     if which in ("mitigate", "all"):

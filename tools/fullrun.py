@@ -134,6 +134,12 @@ def main():
                     help="SIGKILL the finetune once metrics report this step")
     ap.add_argument("--total_samples", type=int, default=None)
     ap.add_argument("--data_n", type=int, default=50_000)
+    ap.add_argument("--stop_after", default=None,
+                    help="exit cleanly after this phase (e.g. "
+                         "'basesample_fid' runs data/base/basesample/"
+                         "basesample_fid + the base FID eval only — the "
+                         "round-4 equal-footing base-FID recapture, which "
+                         "needs none of the prune/finetune legs)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -231,6 +237,26 @@ def main():
         assert rc == 0, (
             f"base FID sampling failed:\n{tail_log(out, 'basesample_fid')}")
         st.mark("basesample_fid", n=total_samples, secs=round(dt, 1))
+
+    if args.stop_after == "basesample_fid":
+        # equal-footing recapture mode: score the base 50k set now and exit
+        # (the pruned side's 50k FID protocol is identical — seed-0
+        # random-init inception over the same seed-0 procedural data npz —
+        # so this row is directly comparable to the r3 pruned number).
+        if not st.done("eval_base_fid"):
+            rc, dt = sh(out, "fid_base_vs_data", [
+                "diff_pruning_tpu.cli.fid_score", base_fid_samples, data_npz,
+                "--random-init-seed", "0", "--batch-size", "256"])
+            assert rc == 0, (
+                f"base FID failed:\n{tail_log(out, 'fid_base_vs_data')}")
+            evals = {}
+            for line in tail_log(out, "fid_base_vs_data", 4).splitlines():
+                if line.startswith("FID"):
+                    evals["fid_base_vs_data"] = float(line.split()[-1])
+            st.mark("eval_base_fid", **evals)
+        print("[fullrun] STOPPED after basesample_fid (equal-footing mode)")
+        print(json.dumps(st.d, indent=1))
+        return
 
     # ---- prune -----------------------------------------------------------
     pruned_dir = os.path.join(out, "pruned")
