@@ -159,7 +159,8 @@ def test_vit_l14_param_count():
     """ViT-L/14 totals (sum of both towers + projections + logit_scale):
     the published model has 123.65M text + 303.97M vision params."""
     model = CLIP(clip_vit_l14_config())
-    p = model.init(jax.random.key(0))
+    # shapes only — counting 427M params doesn't need the arrays
+    p = jax.eval_shape(model.init, jax.random.key(0))
     n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(p))
     # OpenAI ViT-L/14: 427,616,513 total state-dict params
     assert n == 427_616_513, n

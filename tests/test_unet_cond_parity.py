@@ -149,8 +149,11 @@ def test_zoo_preset_param_counts():
                                                    rdm768_config)
 
     def n_jax(cfg):
+        # eval_shape: identical pytree/shapes without materializing the
+        # arrays (3.4B params across these presets — was the slowest test
+        # in the suite at ~2 min; the assertion surface is unchanged)
         m = UNetCond(cfg)
-        p = m.init(jax.random.key(0))
+        p = jax.eval_shape(m.init, jax.random.key(0))
         return sum(int(np.prod(v.shape)) for v in jax.tree.leaves(p))
 
     # counts produced by instantiating the reference UNetModel with each
