@@ -37,6 +37,11 @@ def parse_args(argv=None):
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mixed_precision", type=str, default="no", choices=["no", "bf16"])
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations in the backward pass. "
+                        "Off by default: measured 25%% slower at 32² and "
+                        "28%% at 256² (docs/PERF.md) — opt in only when a "
+                        "big batch/model would OOM otherwise")
     p.add_argument("--vis_samples", type=int, default=64)
     p.add_argument("--kd", action="store_true", help="distill from the unpruned teacher")
     p.add_argument("--teacher_path", type=str, default=None)
@@ -106,6 +111,7 @@ def main(argv=None):
         num_train_steps=args.num_iters,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         mixed_precision="bf16" if args.mixed_precision == "bf16" else "no",
+        remat=args.remat,
     )
 
     # data mesh over the most devices that evenly divide the batch

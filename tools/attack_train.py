@@ -326,6 +326,49 @@ def phase_train256(batch=8, chunk=4):
                   flush=True)
 
 
+def phase_train256_remat(batch=8, chunk=4):
+    """Follow-up to train256: the 32² attack measured remat at a 25%
+    recompute tax ("never remat at 32²"). The 256² row above ran remat=ON
+    (memory caution). If the LSUN-256 train step FITS v5e HBM without
+    remat at the reference-ish bs8, turning it off is a free ~25% on the
+    256² finetune workload. Two measured rows, default GN, one experiment
+    on the chip at a time."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_lsun256_config
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+    from diff_pruning_tpu.training.finetune import (TrainConfig,
+                                                    init_train_state,
+                                                    make_chunked_train_step)
+
+    mcfg = ddpm_lsun256_config()
+    model_tpl = UNet2D(mcfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model_tpl.init(jax.random.key(0))
+    params = jax.device_put(params, jax.devices()[0])
+    schedule = DiffusionSchedule.create()
+    for remat in (True, False):
+        try:
+            cfg = TrainConfig(use_ema=True, mixed_precision="bf16",
+                              remat=remat)
+            model = UNet2D(mcfg)
+            state = init_train_state(jax.tree.map(jnp.copy, params), cfg)
+            step = make_chunked_train_step(model, schedule, cfg, chunk=chunk)
+            batches = jnp.zeros((chunk, batch, 256, 256, 3), jnp.float32)
+            ips, dt = timeit(step, state, batches, reps=2)
+            print(json.dumps({"phase": "train256_remat", "remat": remat,
+                              "batch": batch, "chunk": chunk,
+                              "imgs_per_sec": round(ips, 2),
+                              "ms_per_step": round(1e3 * dt / chunk, 1)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — OOM/compile-500 is a result
+            print(json.dumps({"phase": "train256_remat", "remat": remat,
+                              "batch": batch, "chunk": chunk,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from diff_pruning_tpu.utils.compile_cache import (
@@ -344,6 +387,8 @@ def main():
         phase_mitigate()
     if which in ("train256", "all"):
         phase_train256()
+    if which == "train256_remat":
+        phase_train256_remat()
 
 
 if __name__ == "__main__":
