@@ -407,3 +407,13 @@ def test_sample_many_writes_images(tiny, tmp_path):
     arr = sample_many(sampler, key=jax.random.key(0), total_images=6,
                       batch_size=4, hw=16, channels=3)
     assert arr.shape == (6, 16, 16, 3)
+
+
+def test_cli_remat_flag_plumbs_to_trainconfig():
+    """--remat is opt-in (measured 25-28% slower, docs/PERF.md) and must
+    reach TrainConfig; default stays the fast no-remat path."""
+    from diff_pruning_tpu.cli.ddpm_train import parse_args
+
+    base = ["--dataset", "d.npz", "--model_path", "m", "--output_dir", "o"]
+    assert parse_args(base).remat is False
+    assert parse_args(base + ["--remat"]).remat is True
