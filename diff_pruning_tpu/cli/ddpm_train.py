@@ -39,9 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--mixed_precision", type=str, default="no", choices=["no", "bf16"])
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations in the backward pass. "
-                        "Off by default: measured 25%% slower at 32² and "
-                        "28%% at 256² (docs/PERF.md) — opt in only when a "
-                        "big batch/model would OOM otherwise")
+                        "Off by default: measured ~25%% slower at 32² and "
+                        "~22%% at 256² (58.01 vs 74.21 imgs/s, docs/PERF.md) "
+                        "— opt in only when a big batch/model would OOM "
+                        "otherwise")
     p.add_argument("--vis_samples", type=int, default=64)
     p.add_argument("--kd", action="store_true", help="distill from the unpruned teacher")
     p.add_argument("--teacher_path", type=str, default=None)

@@ -62,9 +62,14 @@ def test_random_architecture_prunes_consistently(seed):
     imp = make_importance(imp_name, seed=seed,
                           normalizer=None if normalizer is None else str(normalizer))
     sparsity = float(rng.uniform(0.15, 0.5))
+    rt = int(rng.choice([1, 2, 3, 4]))
     res = prune(model.graph, params, imp, sparsity=sparsity,
                 global_pruning=bool(rng.integers(0, 2)),
-                round_to=int(rng.choice([1, 2])))
+                round_to=rt)
+    for name, k in res.keep.items():
+        var = model.graph.vars[name]
+        eff_rt = max(var.round_to, rt)
+        assert (var.size - len(k)) % eff_rt == 0, (name, var.size, len(k), eff_rt)
     newp = apply_pruning(params, model.graph, res)
     new_cfg = cfg.with_channel_sizes(res.channel_sizes)
     m2 = UNet2D(new_cfg)
@@ -116,10 +121,15 @@ def test_random_cond_unet_prunes_consistently(seed):
     n0 = count_params(params)
 
     imp = make_importance("magnitude", seed=seed)
+    rt = int(rng.choice([1, 2, 3, 4]))
     res = prune(model.graph, params, imp,
                 sparsity=float(rng.uniform(0.15, 0.4)),
                 global_pruning=bool(rng.integers(0, 2)),
-                round_to=int(rng.choice([1, 2])))
+                round_to=rt)
+    for name, k in res.keep.items():
+        var = model.graph.vars[name]
+        eff_rt = max(var.round_to, rt)
+        assert (var.size - len(k)) % eff_rt == 0, (name, var.size, len(k), eff_rt)
     newp = apply_pruning(params, model.graph, res)
     m2 = UNetCond(cfg.with_channel_sizes(res.channel_sizes))
     m2.graph.validate(newp)

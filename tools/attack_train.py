@@ -130,7 +130,15 @@ def phase_roofline():
     import jax
 
     _, state, step, batches = build()
+    # lower() is host-local and cheap — do it while `state`'s donated
+    # buffers are still alive. Warm + time through the normal jit dispatch
+    # path BEFORE .compile(): an AOT compile on a cold program bypasses the
+    # warm compile cache and once hung ~9 min in a fresh remote compile
+    # (CLAUDE.md); after timeit the executable is in the persistent cache,
+    # so the AOT compile below is a cache hit, not a second remote compile
+    # (ADVICE r4).
     lowered = step.lower(state, batches, jax.random.key(0))
+    ips, dt = timeit(step, state, batches)
     compiled = lowered.compile()
     try:
         ca = compiled.cost_analysis()
@@ -141,7 +149,6 @@ def phase_roofline():
         return
     flops = float(ca.get("flops", 0.0))
     bytes_acc = float(ca.get("bytes accessed", 0.0))
-    ips, dt = timeit(step, state, batches)
     t_compute = flops / V5E_PEAK_BF16
     t_hbm = bytes_acc / 819e9
     print(json.dumps({

@@ -134,7 +134,8 @@ def main():
                     help="SIGKILL the finetune once metrics report this step")
     ap.add_argument("--total_samples", type=int, default=None)
     ap.add_argument("--data_n", type=int, default=50_000)
-    ap.add_argument("--stop_after", default=None,
+    ap.add_argument("--stop_after", "--stop-after", default=None,
+                    choices=["basesample_fid"],
                     help="exit cleanly after this phase (e.g. "
                          "'basesample_fid' runs data/base/basesample/"
                          "basesample_fid + the base FID eval only — the "
