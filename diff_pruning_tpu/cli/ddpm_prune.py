@@ -42,6 +42,30 @@ def parse_args(argv=None):
                    help="per-group score normalizer "
                         "(torch_pruning importance.py:25-40); affects only "
                         "--global_pruning rankings (default: mean)")
+    p.add_argument("--cost_aware", type=str, default=None,
+                   choices=["macs", "bytes", "hybrid"],
+                   help="rank global-pruning candidates by importance per "
+                        "unit HARDWARE cost (pruning/cost.py) instead of "
+                        "importance alone — beyond the reference, which "
+                        "implicitly optimizes MACs. Requires "
+                        "--global_pruning. 'bytes' targets HBM traffic "
+                        "(what a bandwidth-bound v5e pays), 'macs' the "
+                        "reference's objective, 'hybrid' a roofline blend. "
+                        "Measured +61%% sampling throughput at equal params "
+                        "on the CIFAR UNet (docs/PERF.md)")
+    p.add_argument("--match_params", action="store_true",
+                   help="with --cost_aware: binary-search the channel "
+                        "sparsity so the final PARAM count matches what "
+                        "importance-only pruning yields at --pruning_ratio "
+                        "(naive cost division is aggressive — cross-layer "
+                        "cost ratios are ~100x; this keeps the comparison "
+                        "and the deployment budget in params, the unit the "
+                        "paper reports)")
+    p.add_argument("--max_sparsity", type=float, default=1.0,
+                   help="cap any single var's drop fraction in global mode "
+                        "(metapruner.py:172-194); 0.75 recommended with "
+                        "--cost_aware so cost division cannot floor whole "
+                        "layers")
     p.add_argument("--use_generated_samples", action="store_true",
                    help="accumulate Taylor grads on the model's OWN samples "
                         "instead of dataset images "
@@ -172,8 +196,55 @@ def main(argv=None):
 
         imp = make_importance(args.pruner, seed=args.seed,
                               normalizer=args.normalizer)
-        result = prune(model.graph, params, imp, sparsity=args.pruning_ratio,
-                       grads=grads, global_pruning=args.global_pruning)
+
+        cost_w = None
+        if args.cost_aware:
+            if not args.global_pruning:
+                raise SystemExit("--cost_aware requires --global_pruning "
+                                 "(cost division ranks the global pool)")
+            from ..pruning.cost import var_cost_weights
+
+            hw = cfg.sample_size or 32
+            # trace at the serving batch: at bs1 weight traffic dominates
+            # the byte model and the ranking degenerates (pruning/cost.py)
+            cost_w = var_cost_weights(
+                model, params, (args.batch_size, hw, hw, cfg.in_channels),
+                mode=args.cost_aware)
+
+        def _prune_at(s, cw):
+            return prune(model.graph, params, imp, sparsity=s, grads=grads,
+                         global_pruning=args.global_pruning, cost_weights=cw,
+                         max_sparsity=args.max_sparsity)
+
+        result = _prune_at(args.pruning_ratio, cost_w)
+        if cost_w is not None and args.match_params:
+            # equal-params calibration (tools/cost_aware_bench.py protocol):
+            # hit the param budget importance-only pruning yields at the
+            # requested ratio, ±1%
+            from ..pruning.flops import count_params
+
+            target = count_params(apply_pruning(
+                params, model.graph, _prune_at(args.pruning_ratio, None)))
+            lo, hi = 0.0, 0.95
+            best = None  # (abs err, sparsity, result, n) — channel drops are
+            # discrete, so ±1% may be unreachable on small models; keep the
+            # closest allocation seen rather than whatever the last probe was
+            for _ in range(24):
+                mid = (lo + hi) / 2
+                r = _prune_at(mid, cost_w)
+                n = count_params(apply_pruning(params, model.graph, r))
+                err = abs(n - target)
+                if best is None or err < best[0]:
+                    best = (err, mid, r, n)
+                if err / target < 0.01:
+                    break
+                if n > target:
+                    lo = mid
+                else:
+                    hi = mid
+            _, mid, result, n = best
+            print(f"match_params: channel sparsity {mid:.4f} -> "
+                  f"{n/1e6:.3f}M (target {target/1e6:.3f}M)")
         new_params = apply_pruning(params, model.graph, result)
         new_cfg = cfg.with_channel_sizes(result.channel_sizes)
         new_model = UNet2D(new_cfg)

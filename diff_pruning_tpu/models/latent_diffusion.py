@@ -173,6 +173,8 @@ class LatentDiffusion:
                          guidance_scale: float = 3.0, eta: float = 0.0,
                          latent_hw: int = 64, latent_ch: int = 3,
                          mesh=None, data_axis: str = "data",
+                         tensor_parallel: bool = False,
+                         model_axis: str = "model",
                          method: str = "ddim", uncond_input=None):
         """Jitted class-conditional CFG sampler over latents.
 
@@ -180,7 +182,11 @@ class LatentDiffusion:
         ldm/models/diffusion/ddim.py:188-192). With ``mesh``, the batch is
         sharded over the mesh's data axis (params replicated) — the SPMD
         equivalent of sample_for_FID.py's per-process fan-out.
-        ``method='plms'`` selects the PLMS multistep sampler
+        ``tensor_parallel`` (2-D mesh with a ``model_axis``) additionally
+        shards the UNet's conv/linear out-axes over the model axis via its
+        ChannelGraph (parallel/tp.py) — for the 400M-class cross-attention
+        models whose weights outgrow one chip; the cond/first stages stay
+        replicated. ``method='plms'`` selects the PLMS multistep sampler
         (ldm/models/diffusion/plms.py; requires eta == 0); ``method='dpm'``
         the DPM-Solver++(2M) solver (beyond reference,
         schedulers/dpm_solver.py; also deterministic).
@@ -202,7 +208,18 @@ class LatentDiffusion:
 
             n_shards = mesh.shape[data_axis]
             data_sh = NamedSharding(mesh, P(data_axis))
-            params = jax.device_put(params, NamedSharding(mesh, P()))
+            if tensor_parallel:
+                from ..parallel.tp import tp_param_shardings
+
+                repl = NamedSharding(mesh, P())
+                sh = {k: (tp_param_shardings(self.unet.graph, v, mesh,
+                                             axis=model_axis)
+                          if k == "unet" else
+                          jax.tree.map(lambda _: repl, v))
+                      for k, v in params.items()}
+                params = jax.device_put(params, sh)
+            else:
+                params = jax.device_put(params, NamedSharding(mesh, P()))
 
         # big models pass params as a jit ARGUMENT (closure constants
         # inflate the serialized program by the full param bytes — the
