@@ -48,7 +48,27 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def write_ldm_meta(model_path, ldm) -> None:
+    """Persist the LDM-level hyperparameters next to unet/ + cond_stage/.
+
+    Without this, load_ldm would rebuild every checkpoint with the cin256-v2
+    defaults (n_classes=1001, scale_factor=1.0) — a checkpoint trained with
+    a different class count then samples the uncond row out of bounds, and
+    jnp.take's OOB fill is NaN, not an error (CLAUDE.md; the scratch LDM
+    pipeline in tools/pixelrun.py trains with single-digit class counts)."""
+    import json
+
+    with open(os.path.join(model_path, "ldm.json"), "w") as f:
+        json.dump({"n_classes": ldm.n_classes,
+                   "scale_factor": ldm.scale_factor,
+                   "num_train_timesteps": ldm.schedule.num_train_timesteps,
+                   "linear_start": ldm.linear_start,
+                   "linear_end": ldm.linear_end}, f, indent=2)
+
+
 def load_ldm(model_path, config_path, seed=0):
+    import json
+
     import jax
 
     from ..models.latent_diffusion import LatentDiffusion
@@ -63,7 +83,13 @@ def load_ldm(model_path, config_path, seed=0):
             ucfg = UNetCondConfig.from_json(f.read())
     else:
         ucfg = cin256_v2_config()
-    ldm = LatentDiffusion(ucfg)
+
+    meta = {}
+    if model_path and os.path.exists(os.path.join(model_path, "ldm.json")):
+        with open(os.path.join(model_path, "ldm.json")) as f:
+            meta = json.load(f)
+
+    params = first_stage = None
     if model_path:
         params = {
             "unet": load_params_npz(os.path.join(model_path, "unet", "params.npz")),
@@ -72,13 +98,28 @@ def load_ldm(model_path, config_path, seed=0):
         }
         fs = os.path.join(model_path, "first_stage", "params.npz")
         if os.path.exists(fs):
-            from ..models.vae import AutoencoderConfig, VQModel
+            from ..models.vae import AutoencoderConfig, make_first_stage
 
             with open(os.path.join(model_path, "first_stage", "config.json")) as f:
                 vcfg = AutoencoderConfig.from_json(f.read())
-            ldm.first_stage = VQModel(vcfg)
+            first_stage = make_first_stage(vcfg)
             params["first_stage"] = load_params_npz(fs)
-    else:
+        # checkpoints without ldm.json (pre-r5): the embedding table's row
+        # count IS n_classes (ClassEmbedder init) — never trust the 1001
+        # default against loaded weights
+        if "n_classes" not in meta:
+            emb = params["cond_stage"].get("embedding")
+            if emb is not None:
+                meta["n_classes"] = int(emb["weight"].shape[0])
+
+    ldm = LatentDiffusion(
+        ucfg, n_classes=int(meta.get("n_classes", 1001)),
+        first_stage=first_stage,
+        scale_factor=float(meta.get("scale_factor", 1.0)),
+        num_train_timesteps=int(meta.get("num_train_timesteps", 1000)),
+        linear_start=float(meta.get("linear_start", 0.0015)),
+        linear_end=float(meta.get("linear_end", 0.0195)))
+    if params is None:
         # init on the host CPU backend: a cold on-chip init program is its
         # own multi-minute remote compile at 400M scale (CLAUDE.md), then
         # move the whole tree in one batched transfer
@@ -154,7 +195,12 @@ def main(argv=None):
 
     from ..models.latent_diffusion import LatentDiffusion
 
-    ldm2 = LatentDiffusion(new_ucfg, first_stage=ldm.first_stage)
+    ldm2 = LatentDiffusion(new_ucfg, n_classes=ldm.n_classes,
+                           first_stage=ldm.first_stage,
+                           scale_factor=ldm.scale_factor,
+                           num_train_timesteps=ldm.schedule.num_train_timesteps,
+                           linear_start=ldm.linear_start,
+                           linear_end=ldm.linear_end)
     ldm2.graph = ldm2.unet.graph
     ldm2.unet.graph.validate(new_unet)
     params2 = {**params, "unet": new_unet}
@@ -175,6 +221,7 @@ def main(argv=None):
         # so a pruned artifact without it cannot be trained
         save_model(args.save_path, ldm.first_stage.cfg,
                    params2["first_stage"], subfolder="first_stage")
+    write_ldm_meta(args.save_path, ldm2)
     print(f"Saved pruned LDM to {args.save_path}")
 
     if not args.skip_vis:

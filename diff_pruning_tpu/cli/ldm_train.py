@@ -184,11 +184,18 @@ def main(argv=None):
                       os.path.join(args.output_dir, "logs"))
     base_key = jax.random.key(args.seed)
     # the frozen first-stage/cond-stage never changes: write it once, not
-    # per save
+    # per save — WITH the codec and ldm.json, so the output dir is a
+    # complete, directly sample-able LDM checkpoint (cli.ldm_sample decodes
+    # to pixels only when first_stage/ is present)
     if is_main:
         cs_dir = os.path.join(args.output_dir, "cond_stage")
         os.makedirs(cs_dir, exist_ok=True)
         save_params_npz(os.path.join(cs_dir, "params.npz"), frozen["cond_stage"])
+        save_model(args.output_dir, ldm.first_stage.cfg,
+                   frozen["first_stage"], subfolder="first_stage")
+        from .ldm_prune import write_ldm_meta
+
+        write_ldm_meta(args.output_dir, ldm)
 
     def service_save(host_state, at_step):
         host_params, host_opt = host_state

@@ -147,6 +147,7 @@ class LatentDiffusion:
         self.uncond_class = n_classes - 1
         self.first_stage = first_stage  # VQModel/AutoencoderKL or None
         self.scale_factor = scale_factor
+        self.linear_start, self.linear_end = linear_start, linear_end
         self.schedule = ldm_schedule(num_train_timesteps, linear_start, linear_end)
 
     def init(self, key):

@@ -78,6 +78,11 @@ def test_ldm_train_smoke_and_resume(workspace, tmp_path):
     full = tmp_path / "full"
     _run(workspace, full, num_iters=8)
     assert os.path.exists(full / "unet" / "params.npz")
+    # the output dir is a complete sample-able checkpoint: codec + meta ride
+    # along so cli.ldm_sample can decode to pixels from it directly
+    assert os.path.exists(full / "first_stage" / "params.npz")
+    with open(full / "ldm.json") as f:
+        assert json.load(f)["n_classes"] == 3
     from diff_pruning_tpu.utils.checkpoint import _resolve_ckpt_dir
 
     assert os.path.exists(
