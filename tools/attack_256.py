@@ -43,6 +43,12 @@ FLOP_PEAK = 197e12  # v5e bf16
 
 
 RES = int(os.environ.get("ATTACK_RES", "256"))  # 32 = CIFAR (CPU shakeout)
+# VERDICT r4 weak #4 / next #4: ATTACK_PRUNED=0.3 runs every phase on the
+# 30%-PRUNED model (local-mode prune, the PERF.md pruned rows' 19.95M CIFAR /
+# 44.03M CelebA-64 programs) so the pruned-speedup saturation story gets the
+# same measured roofline/ablation attribution the base 256² wall got —
+# instead of the by-analogy explanation PERF.md carried.
+PRUNED = float(os.environ.get("ATTACK_PRUNED", "0"))
 
 
 def build(batch=8, steps=100):
@@ -66,6 +72,21 @@ def build(batch=8, steps=100):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = model.init(jax.random.key(0))
+    if PRUNED > 0:
+        from diff_pruning_tpu.pruning.flops import count_ops_and_params
+        from diff_pruning_tpu.pruning.importance import make_importance
+        from diff_pruning_tpu.pruning.pruner import apply_pruning, prune
+
+        with jax.default_device(cpu):
+            res = prune(model.graph, params, make_importance("magnitude"),
+                        sparsity=PRUNED)
+            params = apply_pruning(params, model.graph, res)
+        cfg = cfg.with_channel_sizes(res.channel_sizes)
+        model = UNet2D(cfg)
+        macs, n = count_ops_and_params(model, params, (1, RES, RES, 3))
+        print(json.dumps({"phase": "build", "pruned": PRUNED,
+                          "params_M": round(n / 1e6, 2),
+                          "macs_G": round(macs / 1e9, 2)}), flush=True)
     bf16 = jax.tree.map(lambda x: jax.device_put(x.astype(jnp.bfloat16),
                                                  jax.devices()[0]), params)
     sched = DiffusionSchedule.create()

@@ -376,6 +376,190 @@ def phase_train256_remat(batch=8, chunk=4):
                   flush=True)
 
 
+LSUN_MACS_FWD_PER_IMG = 248.2e9  # LSUN-256 UNet (docs/PERF.md scale table)
+
+
+def _mfu256(imgs_per_sec, bwd_mult=3.0):
+    return imgs_per_sec * LSUN_MACS_FWD_PER_IMG * 2.0 * bwd_mult / V5E_PEAK_BF16
+
+
+def _build256(cfg=None, chunk=4, batch=8):
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_lsun256_config
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+    from diff_pruning_tpu.training.finetune import (TrainConfig,
+                                                    init_train_state,
+                                                    make_chunked_train_step)
+
+    mcfg = ddpm_lsun256_config()
+    model = UNet2D(mcfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.key(0))
+    params = jax.device_put(params, jax.devices()[0])
+    schedule = DiffusionSchedule.create()
+    if cfg is None:
+        cfg = TrainConfig(use_ema=True, mixed_precision="bf16", remat=False)
+    state = init_train_state(params, cfg)
+    step = make_chunked_train_step(model, schedule, cfg, chunk=chunk)
+    batches = jnp.zeros((chunk, batch, 256, 256, 3), jnp.float32)
+    return model, state, step, batches
+
+
+def phase_attack256_train(batch=8, chunk=4):
+    """VERDICT r4 next #3: the 256² TRAIN step sits at 44.3% MFU vs the
+    same-scale sampler's 69.9% with no ceiling proof. Give it the full 32²
+    treatment: fwd-only bound, per-component semantic ablation, roofline
+    from XLA cost analysis, and measured mitigations. Each row is its own
+    (multi-minute) 256² remote compile — run alone on the chip.
+    Train-step semantics: ddpm_exp/runners/diffusion.py:446-469."""
+    import contextlib
+    import unittest.mock as mock
+
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.models import layers as L
+    from diff_pruning_tpu.training.finetune import TrainConfig
+
+    def row(tag, ips, dt=None, bwd_mult=3.0, **extra):
+        print(json.dumps({"phase": "attack256_train", "tag": tag,
+                          "imgs_per_sec": round(ips, 2),
+                          **({"ms_per_step": round(1e3 * dt / chunk, 1)}
+                             if dt else {}),
+                          "mfu_pct": round(100 * _mfu256(ips, bwd_mult), 1),
+                          **extra}), flush=True)
+
+    def gn_affine_only(self, p, x, *, with_silu=False):
+        y = x * p["scale"].astype(x.dtype) + p["bias"].astype(x.dtype)
+        return y * jax.nn.sigmoid(y) if with_silu else y
+
+    def attn_identity(self, p, x):
+        return x
+
+    # --- baseline + semantic ablations (remat OFF — the production default)
+    variants = [
+        ("baseline_bf16_ema_adam", dict(), contextlib.nullcontext()),
+        ("no_ema", dict(use_ema=False), contextlib.nullcontext()),
+        ("sgd_no_moments", dict(use_ema=False, optimizer="sgd"),
+         contextlib.nullcontext()),
+        ("gn_affine_only", dict(),
+         mock.patch.object(L.GroupNorm, "__call__", gn_affine_only)),
+        ("attn_identity", dict(),
+         mock.patch.object(L.SelfAttention2D, "__call__", attn_identity)),
+    ]
+    for tag, kw, ctx in variants:
+        try:
+            with ctx:
+                cfg = TrainConfig(use_ema=True, mixed_precision="bf16",
+                                  remat=False)
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, **kw)
+                _, state, step, batches = _build256(cfg=cfg, chunk=chunk,
+                                                    batch=batch)
+                ips, dt = timeit(step, state, batches, reps=2)
+            row(tag, ips, dt)
+        except Exception as e:  # noqa: BLE001 — OOM/compile-500 is a result
+            print(json.dumps({"phase": "attack256_train", "tag": tag,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
+    # --- fwd-only bound: the forward program's own ceiling at 256²
+    import jax
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_lsun256_config
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+    from diff_pruning_tpu.training.finetune import antithetic_timesteps
+
+    mcfg = ddpm_lsun256_config()
+    model = UNet2D(mcfg)
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.key(0))
+    bf16 = jax.tree.map(
+        lambda a: jax.device_put(a.astype(jnp.bfloat16), jax.devices()[0]),
+        params)
+    schedule = DiffusionSchedule.create()
+
+    @jax.jit
+    def fwd_chunk(p, batches, key):
+        def body(acc, inp):
+            i, b = inp
+            k = jax.random.fold_in(key, i)
+            nk, tk = jax.random.split(k)
+            noise = jax.random.normal(nk, b.shape, jnp.bfloat16)
+            t = antithetic_timesteps(tk, b.shape[0],
+                                     schedule.num_train_timesteps)
+            noisy = schedule.add_noise(b.astype(jnp.bfloat16), noise, t)
+            out = model(p, noisy, t)
+            l = ((out - noise).astype(jnp.float32) ** 2).sum((1, 2, 3)).mean()
+            return acc + l, None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              (jnp.arange(batches.shape[0]), batches))
+        return acc
+
+    try:
+        batches = jnp.zeros((chunk, batch, 256, 256, 3), jnp.float32)
+        _sync(fwd_chunk(bf16, batches, jax.random.key(0)))
+        t0 = time.perf_counter()
+        for i in range(2):
+            _sync(fwd_chunk(bf16, batches, jax.random.key(i + 1)))
+        dt = (time.perf_counter() - t0) / 2
+        row("fwd_only", chunk * batch / dt, bwd_mult=1.0)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"phase": "attack256_train", "tag": "fwd_only",
+                          "error": f"{type(e).__name__}: {e}"[:300]}),
+              flush=True)
+
+    # --- roofline from XLA's cost analysis of the full train program
+    try:
+        _, state, step, batches = _build256(chunk=chunk, batch=batch)
+        lowered = step.lower(state, batches, jax.random.key(0))
+        ips, dt = timeit(step, state, batches, reps=2)  # warm cache FIRST
+        ca = lowered.compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        print(json.dumps({
+            "phase": "attack256_train", "tag": "roofline",
+            "imgs_per_sec": round(ips, 2),
+            "measured_s_per_dispatch": round(dt, 3),
+            "xla_flops_per_dispatch": flops,
+            "xla_bytes_per_dispatch": bytes_acc,
+            "compute_bound_floor_s": round(flops / V5E_PEAK_BF16, 3),
+            "hbm_bound_floor_s": round(bytes_acc / 819e9, 3),
+            "pct_of_dominant_roofline": round(100 * max(
+                flops / V5E_PEAK_BF16, bytes_acc / 819e9) / dt, 1),
+        }), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"phase": "attack256_train", "tag": "roofline",
+                          "error": f"{type(e).__name__}: {e}"[:300]}),
+              flush=True)
+
+
+def phase_attack256_mitigate():
+    """Measured mitigation sweep for the 256² train step (each its own
+    compile): dispatch-fusion depth and per-step batch, semantics-free
+    except where noted. The scoped-vmem candidate needs a fresh process:
+      LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536 \
+      python tools/attack_train.py attack256_baseline"""
+    for chunk, batch in [(4, 8), (8, 8), (2, 16), (8, 4)]:
+        try:
+            _, state, step, batches = _build256(chunk=chunk, batch=batch)
+            ips, dt = timeit(step, state, batches, reps=2)
+            print(json.dumps({"phase": "attack256_mitigate", "chunk": chunk,
+                              "batch": batch, "imgs_per_sec": round(ips, 2),
+                              "mfu_pct": round(100 * _mfu256(ips), 1)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"phase": "attack256_mitigate", "chunk": chunk,
+                              "batch": batch,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from diff_pruning_tpu.utils.compile_cache import (
@@ -396,6 +580,20 @@ def main():
         phase_train256()
     if which == "train256_remat":
         phase_train256_remat()
+    if which == "attack256_train":
+        phase_attack256_train()
+    if which == "attack256_mitigate":
+        phase_attack256_mitigate()
+    if which == "attack256_baseline":
+        # single baseline row (for fresh-process env-flag A/Bs like
+        # LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536)
+        _, state, step, batches = _build256()
+        ips, dt = timeit(step, state, batches, reps=2)
+        print(json.dumps({"phase": "attack256_baseline",
+                          "imgs_per_sec": round(ips, 2),
+                          "ms_per_step": round(1e3 * dt / 4, 1),
+                          "mfu_pct": round(100 * _mfu256(ips), 1)}),
+              flush=True)
 
 
 if __name__ == "__main__":
