@@ -78,6 +78,10 @@ def main(argv=None):
     from ..utils.runlog import archive_command, chunk_for_intervals
     from ..utils.tensorboard import SummaryWriter
 
+    # init on the host CPU backend, then move in one batched transfer: a
+    # cold on-chip init of the 55M vq-f4 is its own multi-minute remote
+    # compile (CLAUDE.md) — it hung the r5 pixelrun smoke for 30+ minutes
+    dev0 = jax.devices()[0]
     if args.model_path:
         with open(os.path.join(args.model_path, "first_stage", "config.json")) as f:
             cfg = AutoencoderConfig.from_json(f.read())
@@ -91,14 +95,19 @@ def main(argv=None):
 
             cfg = dataclasses.replace(cfg, sample_size=args.resolution)
         model = make_first_stage(cfg)
-        gen_params = model.init(jax.random.key(args.seed))
+        with jax.default_device(jax.devices("cpu")[0]):
+            gen_params = model.init(jax.random.key(args.seed))
+        gen_params = jax.device_put(gen_params, dev0)
     else:
         raise SystemExit("need --preset or --model_path")
 
     if args.lpips == "off":
         lpips_params, pw = None, 0.0
     elif args.lpips == "random":
-        lpips_params, pw = init_lpips_params(jax.random.key(7)), args.perceptual_weight
+        with jax.default_device(jax.devices("cpu")[0]):
+            lpips_params = init_lpips_params(jax.random.key(7))
+        lpips_params, pw = (jax.device_put(lpips_params, dev0),
+                            args.perceptual_weight)
     else:
         lpips_params, pw = load_lpips_params(args.lpips), args.perceptual_weight
 
@@ -134,8 +143,10 @@ def main(argv=None):
                                  (jnp.arange(batches.shape[0]), batches))
         return state, jax.tree.map(lambda a: a[-1], ms)
 
+    with jax.default_device(jax.devices("cpu")[0]):
+        disc_params = disc.init(jax.random.key(args.seed + 1))
     state = init_ae_train_state(gen_params,
-                                disc.init(jax.random.key(args.seed + 1)),
+                                jax.device_put(disc_params, dev0),
                                 gen_tx, disc_tx)
     start_step = 0
     if args.resume_from_checkpoint:

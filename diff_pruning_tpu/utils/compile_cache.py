@@ -20,6 +20,14 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> str:
     """
     import jax
 
+    # platform escape hatch: JAX_PLATFORMS=cpu is INEFFECTIVE here — the
+    # axon site hook registers the TPU regardless (CLAUDE.md; verified r5).
+    # DIFF_PRUNING_TPU_PLATFORM=cpu forces CLI subprocesses onto the host
+    # backend via jax.config, which does win (tools/pixelrun.py --smoke).
+    plat = os.environ.get("DIFF_PRUNING_TPU_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     d = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
          or os.path.expanduser("~/.cache/diff_pruning_tpu/jax"))
     os.makedirs(d, exist_ok=True)

@@ -166,15 +166,17 @@ def test_fid_pipeline_end_to_end(tmp_path):
     d3 = tmp_path / "c"
     for d in (d1, d2, d3):
         d.mkdir()
-    for i in range(48):
+    # 24 imgs / batch 12 (was 48/16): same assertion surface at half the
+    # inception FLOPs — this test alone cost 47s of suite time (r5 budget)
+    for i in range(24):
         im = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
         Image.fromarray(im).save(d1 / f"{i}.png")
         Image.fromarray(im).save(d2 / f"{i}.png")
         Image.fromarray(np.clip(im.astype(np.int32) + 64, 0, 255)
                         .astype(np.uint8)).save(d3 / f"{i}.png")
     params = _synth_inception_params(np.random.default_rng(1))
-    same = fid_between_paths(str(d1), str(d2), params, batch_size=16)
-    diff = fid_between_paths(str(d1), str(d3), params, batch_size=16)
+    same = fid_between_paths(str(d1), str(d2), params, batch_size=12)
+    diff = fid_between_paths(str(d1), str(d3), params, batch_size=12)
     assert abs(same) < 1e-3
     assert diff > same + 1.0
 
