@@ -113,6 +113,11 @@ def test_sweep_cache_is_bounded():
     noise = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
     saved = dict(sweep_mod._SWEEP_CACHE)
     sweep_mod._SWEEP_CACHE.clear()
+    # shrink the capacity under test: each loop round is a fresh sweep
+    # compile, and driving the REAL capacity + 2 cost 24s of suite time
+    # (r5 budget pass) for the same bound/eviction assertions
+    saved_cap = sweep_mod._SWEEP_CACHE_CAPACITY
+    sweep_mod._SWEEP_CACHE_CAPACITY = 2
     try:
         refs = []
         n = sweep_mod._SWEEP_CACHE_CAPACITY + 2
@@ -129,6 +134,7 @@ def test_sweep_cache_is_bounded():
         assert dead >= n - sweep_mod._SWEEP_CACHE_CAPACITY, (
             "evicted sweep-cache entries must release their models")
     finally:
+        sweep_mod._SWEEP_CACHE_CAPACITY = saved_cap
         sweep_mod._SWEEP_CACHE.clear()
         sweep_mod._SWEEP_CACHE.update(saved)
 

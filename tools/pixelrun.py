@@ -146,8 +146,10 @@ def main():
     ap.add_argument("--scale", type=float, default=3.0, help="CFG scale")
     ap.add_argument("--sparsity", type=float, default=0.3)
     args = ap.parse_args()
-    global SMOKE_CPU
+    global SMOKE_CPU, LOGDIR
     SMOKE_CPU = args.smoke
+    if args.smoke:  # keep shakeout noise out of the real run's evidence
+        LOGDIR = os.path.join(REPO, "docs", "logs", "r5", "pixelrun_smoke")
 
     if args.smoke:
         n_per_class, hw = 24, 32  # vq-f4 -> 8x8 latents
