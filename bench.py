@@ -162,6 +162,45 @@ def bench_finetune(model, params, schedule):
     return chunk * 128 / dt
 
 
+def bench_train256():
+    """256² train-step throughput (LSUN-church 113.7M, bs 8, chunk 4, bf16,
+    EMA on, remat off — the production default measured fastest in
+    docs/logs/r4/train256_remat.log). Rides as a sub-metric so the 256²
+    train number is tracked per round (VERDICT r4 next #3). Returns imgs/s,
+    or raises — the caller records the error string instead of a number."""
+    import jax
+    import jax.numpy as jnp
+
+    from diff_pruning_tpu.models.unet2d import UNet2D, ddpm_lsun256_config
+    from diff_pruning_tpu.schedulers.ddpm import DiffusionSchedule
+    from diff_pruning_tpu.training.finetune import (TrainConfig,
+                                                    init_train_state,
+                                                    make_chunked_train_step)
+
+    model = UNet2D(ddpm_lsun256_config())
+    with jax.default_device(jax.devices("cpu")[0]):
+        params = model.init(jax.random.key(0))
+    params = jax.device_put(params, jax.devices()[0])
+    cfg = TrainConfig(use_ema=True, mixed_precision="bf16", remat=False)
+    state = init_train_state(params, cfg)
+    chunk, batch = 4, 8
+    step = make_chunked_train_step(model, DiffusionSchedule.create(), cfg,
+                                   chunk=chunk)
+    batches = jnp.zeros((chunk, batch, 256, 256, 3), jnp.float32)
+    # TWO warmups: cold compile + the jax-0.9 layout-keyed recompile on the
+    # first donated-state feedback (see bench_finetune)
+    for w in range(2):
+        state, m = step(state, batches, jax.random.key(w))
+        _sync(m["loss"])
+    reps = 2
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, m = step(state, batches, jax.random.key(i + 2))
+        _sync(m["loss"])
+    dt = (time.perf_counter() - t0) / reps
+    return chunk * batch / dt
+
+
 def bench_sweep(model, params, schedule):
     """Full 1000-step Taylor gradient sweep (thr=None: no early exit), bs 128
     like ddpm_prune.py's grad loop — the paper's pruning workload."""
@@ -255,6 +294,15 @@ def _run():
     wd.pet()
     sweep_s, sweep_compile_s = bench_sweep(model, params, schedule)
     wd.pet()
+    # guarded: the 256² program is a multi-minute remote compile and the
+    # compile service has 500'd on big programs before — a failure here must
+    # not cost the headline metric
+    try:
+        train256_ips = bench_train256()
+        train256_sub = {"train256_imgs_per_sec": round(train256_ips, 2)}
+    except Exception as e:  # noqa: BLE001
+        train256_sub = {"train256_error": f"{type(e).__name__}: {e}"[:200]}
+    wd.pet()
 
     print(json.dumps({
         "metric": HEADLINE_METRIC,
@@ -270,6 +318,7 @@ def _run():
             "sweep_1000step_bs128_seconds": round(sweep_s, 1),
             "sweep_compile_seconds": round(sweep_compile_s, 1),
             "macs_per_eval_g": round(macs / 1e9, 2),
+            **train256_sub,
         },
     }))
 
