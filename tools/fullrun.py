@@ -135,12 +135,15 @@ def main():
     ap.add_argument("--total_samples", type=int, default=None)
     ap.add_argument("--data_n", type=int, default=50_000)
     ap.add_argument("--stop_after", "--stop-after", default=None,
-                    choices=["basesample_fid"],
+                    choices=["basesample_fid", "basesample_fid_noeval"],
                     help="exit cleanly after this phase (e.g. "
                          "'basesample_fid' runs data/base/basesample/"
                          "basesample_fid + the base FID eval only — the "
                          "round-4 equal-footing base-FID recapture, which "
-                         "needs none of the prune/finetune legs)")
+                         "needs none of the prune/finetune legs; the "
+                         "_noeval variant skips the FID eval too, for "
+                         "callers like tools/cost_quality.py that score "
+                         "the base themselves against cached data stats)")
     args = ap.parse_args()
 
     if args.smoke:
@@ -239,12 +242,12 @@ def main():
             f"base FID sampling failed:\n{tail_log(out, 'basesample_fid')}")
         st.mark("basesample_fid", n=total_samples, secs=round(dt, 1))
 
-    if args.stop_after == "basesample_fid":
+    if args.stop_after in ("basesample_fid", "basesample_fid_noeval"):
         # equal-footing recapture mode: score the base 50k set now and exit
         # (the pruned side's 50k FID protocol is identical — seed-0
         # random-init inception over the same seed-0 procedural data npz —
         # so this row is directly comparable to the r3 pruned number).
-        if not st.done("eval_base_fid"):
+        if not st.done("eval_base_fid") and args.stop_after == "basesample_fid":
             rc, dt = sh(out, "fid_base_vs_data", [
                 "diff_pruning_tpu.cli.fid_score", base_fid_samples, data_npz,
                 "--random-init-seed", "0", "--batch-size", "256"])

@@ -1,0 +1,100 @@
+#!/bin/bash
+# Round-5 pass 4: the post-pixelrun remainder, re-sized to the wall clock
+# actually left in the round. Pass 3 planned the full-protocol cost_quality
+# (fullrun 30k-step base + 20k-step finetunes + 50k FID sets ≈ 3.5 h of
+# chip) — that no longer fits after the restart-wiped pixelrun re-ran from
+# scratch. This pass runs the SAME protocols at slim sizes (the A/B
+# cost-aware quality comparison is relative, so both arms shrink together):
+#
+#   pixelrun                  resume/no-op (VERDICT #1)
+#   fullrun_base (slim)       10k-step base, 20k-img data, 4096 FID set
+#   cost_quality (slim)       6k-step finetunes, fid_n 4096 (VERDICT #2)
+#   pruned/base rooflines     32² + 64², roofline+ablate (VERDICT #4)
+#   attack256_train/mitigate  (VERDICT #3)
+#   ldm400 cadence leg        (VERDICT #9, if the clock allows)
+#
+# Logs tee into docs/logs/r5/queue/ at creation time (CLAUDE.md evidence
+# rule); .done markers live in run/r5_queue (shared with pass 1/3 so
+# completed phases stay skipped). STRICTLY one experiment at a time.
+# No new phase starts after DEADLINE (epoch secs) so the driver's
+# end-of-round bench.py gets an uncontended chip.
+#
+# Usage: bash tools/r5_chip_queue_pass4.sh [pid-to-wait-for] [deadline-epoch]
+set -o pipefail
+cd "$(dirname "$0")/.."
+OUT=run/r5_queue
+LOGDIR=docs/logs/r5/queue
+mkdir -p $OUT $LOGDIR
+DEADLINE=${2:-$(( $(date +%s) + 14400 ))}
+
+phase() {  # phase <name> <cmd...>
+  local name=$1; shift
+  if [ -f $OUT/$name.done ]; then echo "[queue] $name: done, skip"; return; fi
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "[queue] $name: past deadline, NOT starting (chip left free)"
+    return
+  fi
+  echo "[queue] $name: $*"
+  echo "==== $(date '+%F %T') $*" >> $LOGDIR/$name.log
+  # only mark done on SUCCESS — a wedged-tunnel failure must not be skipped
+  # on the next pass (the round-3 ldm400_time_* lesson)
+  if "$@" 2>&1 | tee -a $LOGDIR/$name.log; then
+    touch $OUT/$name.done
+  else
+    echo "[queue] $name FAILED rc=$? (left without .done for retry)"
+  fi
+}
+
+# wait for the in-flight pixelrun (one experiment at a time)
+if [ -n "$1" ]; then
+  echo "[queue] waiting for pid $1 to exit"
+  while kill -0 "$1" 2>/dev/null; do sleep 30; done
+fi
+
+# resume/no-op safety: pixelrun is internally resumable
+phase pixelrun timeout 14400 python tools/pixelrun.py --out run/pixelrun
+
+# VERDICT #2: slim equal-footing base, then the two-arm cost-aware quality
+# comparison (importance-only vs --cost_aware hybrid at equal params)
+phase fullrun_base_slim timeout 7200 python tools/fullrun.py \
+  --out run/fullrun_r5cq --base_steps 10000 --data_n 20000 \
+  --total_samples 4096 --stop_after basesample_fid_noeval
+phase cost_quality timeout 10800 python tools/cost_quality.py \
+  --base run/fullrun_r5cq --out run/cost_quality \
+  --ft_steps 6000 --fid_n 4096 --ssim_n 1024
+
+# VERDICT #4: pruned-model saturation attribution (32² and 64², pruned vs
+# base rooflines + pruned ablations)
+phase pruned32_roofline timeout 3600 env ATTACK_RES=32 ATTACK_PRUNED=0.3 \
+  python tools/attack_256.py roofline 128
+phase base32_roofline timeout 3600 env ATTACK_RES=32 \
+  python tools/attack_256.py roofline 128
+phase pruned32_ablate timeout 5400 env ATTACK_RES=32 ATTACK_PRUNED=0.3 \
+  python tools/attack_256.py ablate 128
+phase pruned64_roofline timeout 3600 env ATTACK_RES=64 ATTACK_PRUNED=0.3 \
+  python tools/attack_256.py roofline 128
+phase base64_roofline timeout 3600 env ATTACK_RES=64 \
+  python tools/attack_256.py roofline 128
+phase pruned64_ablate timeout 5400 env ATTACK_RES=64 ATTACK_PRUNED=0.3 \
+  python tools/attack_256.py ablate 128
+
+# VERDICT #3: the 256² train-step attack
+phase attack256_train timeout 7200 python tools/attack_train.py \
+  attack256_train
+phase attack256_mitigate timeout 7200 python tools/attack_train.py \
+  attack256_mitigate
+phase attack256_vmem timeout 3600 env \
+  LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536 \
+  python tools/attack_train.py attack256_baseline
+
+# VERDICT #9: 203M finetune at the reference's 1000-step save cadence
+phase ws python tools/make_cin256_workspace.py run/r5_queue/cin256_ws 8 32
+phase ldm400_prune_mag timeout 7200 python -m diff_pruning_tpu.cli.ldm_prune \
+  --model_path run/r5_queue/cin256_ws/model \
+  --save_path run/r5_queue/ldm400_pruned --sparsity 0.3 --pruner magnitude \
+  --round_to 2 --skip_vis
+phase ldm400_cadence1000 timeout 7200 python tools/ldm400_finetune.py \
+  run/r5_queue/ldm400_pruned run/r5_queue/cin256_ws/data \
+  run/r5_queue/ldm400_ft1000 --num_iters 2200 --save_every 1000
+
+echo "[queue] r5 pass-4 complete"
