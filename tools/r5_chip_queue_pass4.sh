@@ -27,8 +27,16 @@ LOGDIR=docs/logs/r5/queue
 mkdir -p $OUT $LOGDIR
 DEADLINE=${2:-$(( $(date +%s) + 14400 ))}
 
-phase() {  # phase <name> <cmd...>
-  local name=$1; shift
+tmo() {  # tmo <wanted-secs> — cap a phase timeout at the deadline, so a
+  # long resumable phase (cost_quality) cannot run past it and contend
+  # with the driver's end-of-round bench.py
+  local want=$1 left=$(( DEADLINE - $(date +%s) ))
+  [ "$left" -lt 60 ] && left=60
+  [ "$want" -lt "$left" ] && echo "$want" || echo "$left"
+}
+
+phase() {  # phase <name> <wanted-timeout-secs> <cmd...>
+  local name=$1 want=$2; shift 2
   if [ -f $OUT/$name.done ]; then echo "[queue] $name: done, skip"; return; fi
   if [ "$(date +%s)" -ge "$DEADLINE" ]; then
     echo "[queue] $name: past deadline, NOT starting (chip left free)"
@@ -38,7 +46,7 @@ phase() {  # phase <name> <cmd...>
   echo "==== $(date '+%F %T') $*" >> $LOGDIR/$name.log
   # only mark done on SUCCESS — a wedged-tunnel failure must not be skipped
   # on the next pass (the round-3 ldm400_time_* lesson)
-  if "$@" 2>&1 | tee -a $LOGDIR/$name.log; then
+  if timeout "$(tmo "$want")" "$@" 2>&1 | tee -a $LOGDIR/$name.log; then
     touch $OUT/$name.done
   else
     echo "[queue] $name FAILED rc=$? (left without .done for retry)"
@@ -52,48 +60,46 @@ if [ -n "$1" ]; then
 fi
 
 # resume/no-op safety: pixelrun is internally resumable
-phase pixelrun timeout 14400 python tools/pixelrun.py --out run/pixelrun
+phase pixelrun 14400 python tools/pixelrun.py --out run/pixelrun
 
 # VERDICT #2: slim equal-footing base, then the two-arm cost-aware quality
 # comparison (importance-only vs --cost_aware hybrid at equal params)
-phase fullrun_base_slim timeout 7200 python tools/fullrun.py \
-  --out run/fullrun_r5cq --base_steps 10000 --data_n 20000 \
+phase fullrun_base_slim 7200 python tools/fullrun.py \
+  --out run/fullrun_r5cq --base_steps 8000 --data_n 20000 \
   --total_samples 4096 --stop_after basesample_fid_noeval
-phase cost_quality timeout 10800 python tools/cost_quality.py \
+phase cost_quality 10800 python tools/cost_quality.py \
   --base run/fullrun_r5cq --out run/cost_quality \
-  --ft_steps 6000 --fid_n 4096 --ssim_n 1024
+  --ft_steps 5000 --fid_n 4096 --ssim_n 1024
 
 # VERDICT #4: pruned-model saturation attribution (32² and 64², pruned vs
 # base rooflines + pruned ablations)
-phase pruned32_roofline timeout 3600 env ATTACK_RES=32 ATTACK_PRUNED=0.3 \
+phase pruned32_roofline 3600 env ATTACK_RES=32 ATTACK_PRUNED=0.3 \
   python tools/attack_256.py roofline 128
-phase base32_roofline timeout 3600 env ATTACK_RES=32 \
+phase base32_roofline 3600 env ATTACK_RES=32 \
   python tools/attack_256.py roofline 128
-phase pruned32_ablate timeout 5400 env ATTACK_RES=32 ATTACK_PRUNED=0.3 \
+phase pruned32_ablate 5400 env ATTACK_RES=32 ATTACK_PRUNED=0.3 \
   python tools/attack_256.py ablate 128
-phase pruned64_roofline timeout 3600 env ATTACK_RES=64 ATTACK_PRUNED=0.3 \
+phase pruned64_roofline 3600 env ATTACK_RES=64 ATTACK_PRUNED=0.3 \
   python tools/attack_256.py roofline 128
-phase base64_roofline timeout 3600 env ATTACK_RES=64 \
+phase base64_roofline 3600 env ATTACK_RES=64 \
   python tools/attack_256.py roofline 128
-phase pruned64_ablate timeout 5400 env ATTACK_RES=64 ATTACK_PRUNED=0.3 \
+phase pruned64_ablate 5400 env ATTACK_RES=64 ATTACK_PRUNED=0.3 \
   python tools/attack_256.py ablate 128
 
 # VERDICT #3: the 256² train-step attack
-phase attack256_train timeout 7200 python tools/attack_train.py \
-  attack256_train
-phase attack256_mitigate timeout 7200 python tools/attack_train.py \
-  attack256_mitigate
-phase attack256_vmem timeout 3600 env \
+phase attack256_train 7200 python tools/attack_train.py attack256_train
+phase attack256_mitigate 7200 python tools/attack_train.py attack256_mitigate
+phase attack256_vmem 3600 env \
   LIBTPU_INIT_ARGS=--xla_tpu_scoped_vmem_limit_kib=65536 \
   python tools/attack_train.py attack256_baseline
 
 # VERDICT #9: 203M finetune at the reference's 1000-step save cadence
-phase ws python tools/make_cin256_workspace.py run/r5_queue/cin256_ws 8 32
-phase ldm400_prune_mag timeout 7200 python -m diff_pruning_tpu.cli.ldm_prune \
+phase ws 3600 python tools/make_cin256_workspace.py run/r5_queue/cin256_ws 8 32
+phase ldm400_prune_mag 7200 python -m diff_pruning_tpu.cli.ldm_prune \
   --model_path run/r5_queue/cin256_ws/model \
   --save_path run/r5_queue/ldm400_pruned --sparsity 0.3 --pruner magnitude \
   --round_to 2 --skip_vis
-phase ldm400_cadence1000 timeout 7200 python tools/ldm400_finetune.py \
+phase ldm400_cadence1000 7200 python tools/ldm400_finetune.py \
   run/r5_queue/ldm400_pruned run/r5_queue/cin256_ws/data \
   run/r5_queue/ldm400_ft1000 --num_iters 2200 --save_every 1000
 
